@@ -1,0 +1,132 @@
+"""Benchmark harness: renders the contest-class scene on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: a procedural contest-class scene (the reference's Round1 scene is
+out-of-repo) at the reference's defaults — grid 128³, 3 spp, 4 bounces
+(config.json:1-6) — at 1080p-class resolution, mirroring the contest render
+configuration ("--height 1080", BASELINE.md).  Metric: Mrays/s = traced path
+segments / render wall-clock, against the driver's 100 Mrays/s-per-chip
+north star (BASELINE.json).  The first wave's jit compile is excluded via a
+warmup render at the same shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+
+def build_bench_scene(path: Path, num_objects: int = 200, seed: int = 42):
+    """Contest-class content: a box room + a field of textured boxes/quads
+    (~few thousand triangles), one emissive panel, mixed materials."""
+    import numpy as np
+
+    from zig_raytracing_contest_tpu.scene.procedural import SceneBuilder, quad
+
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+
+    # checker texture (repeat), a clamp texture, an alpha-cutout texture
+    checker = np.zeros((8, 8, 4), np.uint8)
+    checker[::2, ::2] = checker[1::2, 1::2] = [230, 230, 230, 255]
+    checker[::2, 1::2] = checker[1::2, ::2] = [40, 40, 40, 255]
+    img_checker = b.add_image_png(checker)
+    tex_checker = b.add_texture(img_checker, b.add_sampler(10497, 10497))
+
+    grad = np.linspace(30, 220, 16).astype(np.uint8)
+    grad_img = np.stack([grad, 255 - grad, np.full(16, 128, np.uint8)], -1)[None]
+    tex_grad = b.add_texture(
+        b.add_image_png(np.ascontiguousarray(grad_img)), b.add_sampler(33071, 33071)
+    )
+
+    holes = np.full((8, 8, 4), 255, np.uint8)
+    holes[2:6, 2:6, 3] = 0
+    tex_holes = b.add_texture(b.add_image_png(holes))
+
+    floor_mat = b.add_material(base_color_texture=tex_checker)
+    grad_mat = b.add_material(base_color_texture=tex_grad)
+    cut_mat = b.add_material(
+        base_color_texture=tex_holes, alpha_mode="MASK", alpha_cutoff=0.5
+    )
+    light = b.add_material(base_color_factor=(0, 0, 0, 1), emissive_factor=(6, 6, 6))
+    plain = [
+        b.add_material(base_color_factor=(rng.uniform(0.2, 0.9, 3).tolist() + [1.0]))
+        for _ in range(8)
+    ]
+
+    S = 12.0
+    p, i, n, t = quad((0, -2, 0), (S, 0, 0), (0, 0, -S))
+    b.add_mesh_node(p, i, floor_mat, normals=n, texcoords=t * 6)
+    p, i, n, t = quad((0, 8, 0), (4, 0, 0), (0, 0, 4))
+    b.add_mesh_node(p, i, light, normals=n, texcoords=t)
+
+    for k in range(num_objects):
+        c = rng.uniform([-8, -1.5, -8], [8, 3, 8])
+        size = rng.uniform(0.2, 0.7)
+        mat = [grad_mat, cut_mat, *plain][k % (len(plain) + 2)]
+        # random oriented quad pair (two-sided via two quads back to back)
+        u = rng.standard_normal(3)
+        u /= np.linalg.norm(u)
+        v = rng.standard_normal(3)
+        v -= u * (v @ u)
+        v /= np.linalg.norm(v)
+        for flip in (1, -1):
+            p, i, n, t = quad(c, u * size, v * size * flip)
+            b.add_mesh_node(p, i, mat, normals=n, texcoords=t)
+
+    b.add_camera_node((0, 2.5, 14), (0, 0.5, 0), yfov=0.8, name="Camera 1")
+    return b.write_gltf(path)
+
+
+def main() -> int:
+    import jax
+
+    from zig_raytracing_contest_tpu.config import Config
+    from zig_raytracing_contest_tpu.render.pipeline import prepare_scene, render_scene
+
+    width, height = 1920, 1080
+    config = Config(
+        grid_resolution=(128, 128, 128), num_samples=3, max_bounce=4,
+        wave_size=1 << 20,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        scene_path = build_bench_scene(Path(d) / "bench.gltf")
+        scene, camera, _ = prepare_scene(
+            str(scene_path), config, camera_name="Camera 1",
+            width=width, height=height,
+        )
+
+    # Warmup at identical shapes: excludes XLA compile from the timing.
+    warm_cfg = Config(
+        grid_resolution=config.grid_resolution, num_samples=config.num_samples,
+        max_bounce=config.max_bounce, wave_size=config.wave_size,
+    )
+    render_scene(scene, camera, warm_cfg)
+    jax.block_until_ready(jax.device_put(0))
+
+    t0 = time.perf_counter()
+    img, stats = render_scene(scene, camera, config)
+    wall = time.perf_counter() - t0
+
+    mrays = stats.segments / wall / 1e6
+    baseline = 100.0  # BASELINE.json north star: >=100 Mrays/s per v5e chip
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / baseline, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

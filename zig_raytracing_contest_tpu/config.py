@@ -1,0 +1,72 @@
+"""Run configuration: config.json + CLI flags, reference key-compatible.
+
+Mirrors the reference's two-source config (SURVEY.md C1/C2): quality knobs
+from ``config.json`` — exactly the reference's keys ``grid_resolution``
+(3-array), ``num_threads`` (nullable; host decode pool size here),
+``num_samples``, ``max_bounce`` (src/main.zig:56-71, config.json:1-6) — and
+per-run I/O via CLI flags ``--in/--out/--camera/--width/--height``
+(src/main.zig:33-39).  TPU-only extras (wave_size, seed, progressive) are
+optional keys the reference never had; unknown keys are rejected like Zig's
+std.json default (src/main.zig:65) except the documented extras.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+REFERENCE_KEYS = {"grid_resolution", "num_threads", "num_samples", "max_bounce"}
+EXTRA_KEYS = {"wave_size", "seed", "progressive_every"}
+
+
+@dataclass
+class Config:
+    grid_resolution: tuple[int, int, int] = (128, 128, 128)
+    num_threads: int | None = None
+    num_samples: int = 3
+    max_bounce: int = 4
+    # TPU-native extras:
+    wave_size: int = 1 << 20  # rays in flight per jitted wave
+    seed: int = 0
+    progressive_every: int = 0  # waves between intermediate PNG dumps (0=off)
+
+    @property
+    def host_threads(self) -> int:
+        return self.num_threads or os.cpu_count() or 1
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            raw = json.load(f)
+        unknown = set(raw) - REFERENCE_KEYS - EXTRA_KEYS
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        missing = REFERENCE_KEYS - set(raw)
+        if missing:
+            raise ValueError(f"missing config keys: {sorted(missing)}")
+        gr = raw["grid_resolution"]
+        if not (isinstance(gr, list) and len(gr) == 3):
+            raise ValueError("grid_resolution must be a 3-array")
+        cfg = cls(
+            grid_resolution=tuple(int(x) for x in gr),
+            num_threads=raw["num_threads"],
+            num_samples=int(raw["num_samples"]),
+            max_bounce=int(raw["max_bounce"]),
+        )
+        for key in EXTRA_KEYS & set(raw):
+            setattr(cfg, key, int(raw[key]))
+        return cfg
+
+
+@dataclass
+class CmdlineArgs:
+    """CLI surface of the reference binary (src/main.zig:33-39)."""
+
+    in_path: str = "input.gltf"
+    out_path: str = "output.png"
+    camera: str | None = None
+    width: int | None = None
+    height: int | None = None
+    config: str = "config.json"
+    devices: str | None = field(default=None)  # TPU extra: mesh spec, e.g. "4"

@@ -1,0 +1,148 @@
+"""End-to-end render pipeline: scene file → PNG, with phase timing.
+
+The orchestration mirror of the reference's main() (src/main.zig:73-143):
+load → preprocess → compile → render → save, each phase timed and logged.
+"compile" here covers both the grid build (the reference's meaning) and the
+XLA jit of the first wave (the TPU-native addition).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..grid.builder import build_grid
+from ..ops import linalg
+from ..scene.camera import Camera, load_camera
+from ..scene.geometry import load_geometry
+from ..scene.gltf import load_gltf
+from ..scene.materials import load_materials
+from ..scene.types import DeviceScene, build_device_scene
+from ..utils.image_io import write_png
+from ..utils.timing import PhaseTimers
+from .wavefront import render_wave_accumulate
+
+log = logging.getLogger("zig_raytracing_contest_tpu")
+
+
+@dataclass
+class RenderStats:
+    width: int
+    height: int
+    spp: int
+    max_bounce: int
+    segments: int  # traced path segments (= rays for Mrays/s)
+    phases: dict
+
+
+def prepare_scene(in_path: str, config: Config, camera_name=None, width=None, height=None):
+    """Host pipeline: parse, extract, build grid, upload. Returns
+    (DeviceScene, Camera, timers)."""
+    timers = PhaseTimers()
+
+    with timers.phase("load", "Loaded"):
+        gltf = load_gltf(in_path, num_threads=config.host_threads)
+
+    with timers.phase("preprocess", "Preprocessed"):
+        camera = load_camera(gltf, camera_name, width, height)
+        log.info("Pixels count: %d", camera.width * camera.height)
+        materials = load_materials(gltf)
+        log.info("Materials count: %d", materials.num_materials)
+        geometry = load_geometry(gltf)
+
+    with timers.phase("compile", "Compiled"):
+        grid = build_grid(geometry.positions, config.grid_resolution, log=log.info)
+        scene = build_device_scene(geometry, grid, materials)
+
+    return scene, camera, timers
+
+
+def render_scene(
+    scene: DeviceScene,
+    camera: Camera,
+    config: Config,
+    timers: PhaseTimers | None = None,
+    progressive_path: str | None = None,
+) -> tuple[np.ndarray, RenderStats]:
+    """Render to an (h, w, 3) uint8 array, looping jitted waves on device."""
+    timers = timers or PhaseTimers()
+    w, h, spp = camera.width, camera.height, config.num_samples
+    num_pixels = w * h
+    total_rays = num_pixels * spp
+    wave_size = min(config.wave_size, max(1024, total_rays))
+    num_waves = -(-total_rays // wave_size)
+    log.info(
+        "Num samples: %d, max bounce %d", config.num_samples, config.max_bounce
+    )
+
+    cam_origin = jnp.asarray(camera.origin)
+    cam_llc = jnp.asarray(camera.lower_left_corner)
+    cam_right = jnp.asarray(camera.right)
+    cam_up = jnp.asarray(camera.up)
+    base_key = jax.random.key(config.seed)
+
+    fb = jnp.zeros((num_pixels, 3), jnp.float32)
+    segments = 0
+
+    with timers.phase("render", "Rendered"):
+        for wave in range(num_waves):
+            fb, wave_segments = render_wave_accumulate(
+                scene,
+                fb,
+                cam_origin,
+                cam_llc,
+                cam_right,
+                cam_up,
+                w,
+                spp,
+                config.max_bounce,
+                jnp.int32(wave * wave_size),
+                wave_size,
+                num_pixels,
+                base_key,
+            )
+            segments += int(wave_segments)
+            if (
+                progressive_path
+                and config.progressive_every
+                and (wave + 1) % config.progressive_every == 0
+                and wave + 1 < num_waves
+            ):
+                # Scanline-progressive dump: pixels not yet reached stay dark.
+                partial_px = np.asarray(linalg.vec3_to_rgb(fb / spp))
+                write_png(progressive_path, partial_px.reshape(h, w, 3))
+        img = np.asarray(linalg.vec3_to_rgb(fb / spp)).reshape(h, w, 3)
+
+    stats = RenderStats(
+        width=w,
+        height=h,
+        spp=spp,
+        max_bounce=config.max_bounce,
+        segments=segments,
+        phases=timers.phases,
+    )
+    return img, stats
+
+
+def render_file(
+    in_path: str,
+    out_path: str,
+    config: Config,
+    camera_name=None,
+    width=None,
+    height=None,
+) -> RenderStats:
+    """Full reference-equivalent run: scene file in, PNG out."""
+    scene, camera, timers = prepare_scene(in_path, config, camera_name, width, height)
+    progressive = out_path if config.progressive_every else None
+    img, stats = render_scene(scene, camera, config, timers, progressive)
+    with timers.phase("save", "Saved"):
+        write_png(out_path, img)
+    timers.done()
+    stats.phases = timers.phases
+    return stats

@@ -1,0 +1,271 @@
+"""Wavefront path tracer: the reference's recursive per-pixel loop
+(src/stage3.zig:188-256) re-architected as bounce rounds over a flat ray wave.
+
+Why wavefront: recursion and per-ray control flow don't map to TPU.  Instead,
+every bounce is one vectorized round over (R,) rays carrying radiance /
+throughput / alive accumulators; the unrolled bounce loop reproduces
+``emissive + albedo * recurse(depth-1)`` as ``radiance += throughput *
+emissive; throughput *= albedo`` and the stochastic-alpha pass-through
+(src/stage3.zig:207-213: same direction, origin offset by t + FLT_EPSILON,
+consumes a bounce) as a masked direction hold.
+
+The intersection loop (traceRay, src/stage3.zig:152-186) becomes a
+``lax.while_loop`` state machine: each iteration, every unfinished ray tests
+up to TRI_BATCH triangles of its current DDA cell (gather + Möller–Trumbore
+on the VPU) and, when its cell is exhausted, advances one DDA step with the
+reference's early-exit rule ``nearest_t <= t_next_crossing``.  Rays in empty
+cells burn one advance per iteration while others test triangles — the
+lock-step wave hides the divergence the reference never had to think about.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dda, linalg, rng
+from ..ops.texture import sample_texture
+from ..scene.types import DeviceScene
+
+FLT_EPSILON = float(jnp.finfo(jnp.float32).eps)  # std.math.floatEps(f32)
+INF = jnp.inf
+
+# Triangles tested per ray per while-loop iteration.  Amortizes the DDA
+# advance logic over several MT tests; cells with fewer pending triangles
+# mask the excess lanes.
+TRI_BATCH = 4
+
+
+class TraceResult(NamedTuple):
+    t: jnp.ndarray  # (R,) f32 — +inf on miss
+    u: jnp.ndarray  # (R,) f32
+    v: jnp.ndarray  # (R,) f32
+    dup_idx: jnp.ndarray  # (R,) int32 — index into duplicated tri arrays
+
+
+def trace_wave(scene: DeviceScene, orig, direction, active) -> TraceResult:
+    """Nearest-hit for a wave of rays via grid DDA + Möller–Trumbore.
+
+    Reference: Scene.traceRay (src/stage3.zig:152-186).  ``active=False``
+    rays return a miss without touching memory bandwidth beyond lock-step.
+    """
+    entered, state = dda.dda_setup(scene.grid, orig, direction)
+
+    cell_lin = dda.linearize_cell_idx(scene.grid, state.cell)
+    cell_lin = jnp.clip(cell_lin, 0, scene.cell_begin.shape[0] - 1)
+    cursor = jnp.where(entered, scene.cell_begin[cell_lin], 0)
+    cur_end = jnp.where(entered, scene.cell_end[cell_lin], 0)
+
+    nearest_t = jnp.full(orig.shape[:-1], INF, jnp.float32)
+    nearest_u = jnp.zeros_like(nearest_t)
+    nearest_v = jnp.zeros_like(nearest_t)
+    nearest_i = jnp.zeros_like(cursor)
+    done = ~(entered & active)
+
+    def cond(carry):
+        done = carry[0]
+        return ~jnp.all(done)
+
+    def body(carry):
+        (done, state, cursor, cur_end, nearest_t, nearest_u, nearest_v, nearest_i) = carry
+        alive = ~done
+
+        # --- triangle phase: up to TRI_BATCH MT tests against current cell
+        for _ in range(TRI_BATCH):
+            has_tri = alive & (cursor < cur_end)
+            idx = jnp.where(has_tri, cursor, 0)
+            valid, t, u, v = linalg.moller_trumbore(
+                orig, direction, scene.tri_v0[idx], scene.tri_e1[idx], scene.tri_e2[idx]
+            )
+            better = has_tri & valid & (t > 0.0) & (t < nearest_t)
+            nearest_t = jnp.where(better, t, nearest_t)
+            nearest_u = jnp.where(better, u, nearest_u)
+            nearest_v = jnp.where(better, v, nearest_v)
+            nearest_i = jnp.where(better, idx, nearest_i)
+            cursor = cursor + has_tri.astype(jnp.int32)
+
+        # --- cell-advance phase: rays whose cell is exhausted step the DDA
+        need_advance = alive & (cursor >= cur_end)
+        t_cross, state = dda.dda_next(state, active=need_advance)
+        # Early exit: hit settled before the next cell boundary, or grid
+        # exit (t_cross = inf; inf <= inf also terminates, matching Zig).
+        newly_done = need_advance & (nearest_t <= t_cross)
+        done = done | newly_done
+
+        moved = need_advance & ~newly_done
+        cell_lin = dda.linearize_cell_idx(scene.grid, state.cell)
+        cell_lin = jnp.clip(cell_lin, 0, scene.cell_begin.shape[0] - 1)
+        cursor = jnp.where(moved, scene.cell_begin[cell_lin], cursor)
+        cur_end = jnp.where(moved, scene.cell_end[cell_lin], cur_end)
+
+        return (done, state, cursor, cur_end, nearest_t, nearest_u, nearest_v, nearest_i)
+
+    carry = (done, state, cursor, cur_end, nearest_t, nearest_u, nearest_v, nearest_i)
+    carry = jax.lax.while_loop(cond, body, carry)
+    (_, _, _, _, nearest_t, nearest_u, nearest_v, nearest_i) = carry
+    return TraceResult(nearest_t, nearest_u, nearest_v, nearest_i)
+
+
+def _interpolate(per_vertex, u, v):
+    """Barycentric interpolation: v0*(1-u-v) + v1*u + v2*v.
+
+    (src/stage3.zig:53-71 — Triangle.Data.interpolate).
+    per_vertex: (R, 3, C); u, v: (R,).
+    """
+    w0 = (1.0 - u - v)[:, None]
+    return per_vertex[:, 0] * w0 + per_vertex[:, 1] * u[:, None] + per_vertex[:, 2] * v[:, None]
+
+
+def shade_and_scatter(scene: DeviceScene, orig, direction, hit: TraceResult, keys, bounce: int):
+    """One shading round: texture fetch, alpha test, diffuse scatter.
+
+    Returns (new_orig, new_dir, emissive_term, albedo_term, pass_through,
+    missed) — all gated downstream by the caller's alive mask.
+    Reference: traceRayRecursive body (src/stage3.zig:188-220).
+    """
+    missed = hit.t == INF
+
+    tri = scene.dup_to_tri[hit.dup_idx]
+    tri_uv = scene.texcoords[tri]  # (R, 3, 2)
+    tri_nrm = scene.normals[tri]  # (R, 3, 3)
+    mat = scene.material_idx[tri]  # (R,)
+
+    texcoord = _interpolate(tri_uv, hit.u, hit.v)
+    tc_u, tc_v = texcoord[:, 0], texcoord[:, 1]
+    albedo = sample_texture(scene.color_data, scene.color_desc[scene.mat_base[mat]], tc_u, tc_v)
+    emissive = sample_texture(
+        scene.color_data, scene.color_desc[scene.mat_emissive[mat]], tc_u, tc_v
+    )
+    opacity = sample_texture(scene.alpha_data, scene.alpha_desc[scene.mat_alpha[mat]], tc_u, tc_v)
+    normal = _interpolate(tri_nrm, hit.u, hit.v)
+
+    # Stochastic alpha: rand > opacity → continue straight through
+    # (src/stage3.zig:207-213).  Both branches consume a bounce.
+    rnd = rng.uniform(keys, 2 * bounce + 1)
+    pass_through = rnd > opacity
+
+    # Diffuse bounce: dir = normalize(normal + randomUnitVector)
+    # (src/stage3.zig:214-217; Gaussian sphere sampling src/linalg.zig:140-148).
+    gauss = rng.normal3(keys, 2 * bounce + 2)
+    scattered = linalg.normalize(normal + linalg.normalize(gauss))
+
+    new_orig = linalg.ray_at(orig, direction, hit.t + FLT_EPSILON)
+    new_dir = jnp.where(pass_through[:, None], direction, scattered)
+
+    return new_orig, new_dir, emissive, albedo, pass_through, missed
+
+
+def render_wave(
+    scene: DeviceScene,
+    cam_origin,
+    cam_lower_left,
+    cam_right,
+    cam_up,
+    width: int,
+    spp: int,
+    max_bounce: int,
+    g_start,
+    wave_size: int,
+    base_key,
+):
+    """Path-trace one wave of global ray ids [g_start, g_start + wave_size).
+
+    Global ray id g ↔ (pixel = g // spp, sample = g % spp); pixel x/y from
+    the row-major index like the reference (src/stage3.zig:234-235).
+    Returns (pixel_ids (R,), radiance (R, 3), segments (R,) int32) where
+    segments counts traced path segments for the Mrays/s metric.
+    """
+    g = g_start + jnp.arange(wave_size, dtype=jnp.int32)
+    pixel = g // spp
+    keys = rng.ray_keys(base_key, g)
+
+    x = (pixel % width).astype(jnp.float32)
+    y = (pixel // width).astype(jnp.float32)
+    jitter = rng.uniform2(keys, 0)
+
+    # Camera.getRay (src/stage3.zig:27-35)
+    sx = (x + jitter[:, 0])[:, None]
+    sy = (y + jitter[:, 1])[:, None]
+    direction = linalg.normalize(cam_lower_left + cam_right * sx + cam_up * sy)
+    orig = jnp.broadcast_to(cam_origin, direction.shape)
+
+    radiance = jnp.zeros_like(direction)
+    throughput = jnp.ones_like(direction)
+    alive = jnp.ones(wave_size, dtype=bool)
+    segments = jnp.zeros(wave_size, dtype=jnp.int32)
+
+    for bounce in range(max_bounce):
+        segments = segments + alive.astype(jnp.int32)
+        hit = trace_wave(scene, orig, direction, alive)
+        new_orig, new_dir, emissive, albedo, pass_through, missed = shade_and_scatter(
+            scene, orig, direction, hit, keys, bounce
+        )
+
+        add_env = alive & missed
+        radiance = radiance + jnp.where(
+            add_env[:, None], throughput * linalg.env_color(direction), 0.0
+        )
+
+        shaded = alive & ~missed & ~pass_through
+        radiance = radiance + jnp.where(shaded[:, None], throughput * emissive, 0.0)
+        throughput = jnp.where(shaded[:, None], throughput * albedo, throughput)
+
+        stepped = alive & ~missed
+        orig = jnp.where(stepped[:, None], new_orig, orig)
+        direction = jnp.where(stepped[:, None], new_dir, direction)
+        alive = stepped
+        # Rays alive after the last bounce contribute nothing — depth
+        # exhaustion returns black (src/stage3.zig:189-191).
+
+    return pixel, radiance, segments
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "spp", "max_bounce", "wave_size", "num_pixels"),
+    donate_argnames=("framebuffer",),
+)
+def render_wave_accumulate(
+    scene: DeviceScene,
+    framebuffer,
+    cam_origin,
+    cam_lower_left,
+    cam_right,
+    cam_up,
+    width: int,
+    spp: int,
+    max_bounce: int,
+    g_start,
+    wave_size: int,
+    num_pixels: int,
+    base_key,
+):
+    """Jitted wave render + scatter-add into the (num_pixels, 3) framebuffer.
+
+    Rays past the last valid global id (padding of the final wave) are
+    masked to zero contribution.  Returns (framebuffer, wave_segments) where
+    wave_segments is an int32 scalar (host accumulates across waves — a
+    single wave's segment count always fits int32).
+    """
+    pixel, radiance, segments = render_wave(
+        scene,
+        cam_origin,
+        cam_lower_left,
+        cam_right,
+        cam_up,
+        width,
+        spp,
+        max_bounce,
+        g_start,
+        wave_size,
+        base_key,
+    )
+    in_range = pixel < num_pixels
+    pixel = jnp.clip(pixel, 0, num_pixels - 1)
+    radiance = jnp.where(in_range[:, None], radiance, 0.0)
+    framebuffer = framebuffer.at[pixel].add(radiance)
+    wave_segments = jnp.sum(jnp.where(in_range, segments, 0), dtype=jnp.int32)
+    return framebuffer, wave_segments
