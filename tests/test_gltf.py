@@ -112,15 +112,13 @@ class TestMaterials:
     def test_factor_dummies(self, box_gltf):
         bank = load_materials(box_gltf)
         assert bank.num_materials == 4
-        # material 1 = red wall: 1x1 dummy base color texture holding factor
+        # material 1 = red wall: 1x1 dummy base color texture holding factor,
+        # opacity 1.0 in the alpha channel (opaque material)
         desc = bank.color_desc[bank.mat_base[1]]
         assert tuple(desc[1:3]) == (1, 1)
         np.testing.assert_allclose(
-            bank.color_data[desc[0]], [0.65, 0.05, 0.05], atol=1e-6
+            bank.color_data[desc[0]], [0.65, 0.05, 0.05, 1.0], atol=1e-6
         )
-        # opaque materials: dummy opacity 1.0
-        adesc = bank.alpha_desc[bank.mat_alpha[0]]
-        assert bank.alpha_data[adesc[0]] == 1.0
 
     def test_texture_gamma_decode_and_wrap(self, tmp_path):
         # 2x1 texture: black and 128-gray; clamp on S, repeat on T
@@ -139,9 +137,11 @@ class TestMaterials:
         desc = bank.color_desc[bank.mat_base[0]]
         offset, w, h = int(desc[0]), int(desc[1]), int(desc[2])
         assert (w, h) == (2, 1)
-        # stb ldr_to_hdr: (128/255)^2.2
+        # stb ldr_to_hdr: (128/255)^2.2 on RGB; opaque => alpha channel 1.0
         np.testing.assert_allclose(
-            bank.color_data[offset + 1], [(128 / 255) ** 2.2] * 3, atol=1e-6
+            bank.color_data[offset + 1],
+            [(128 / 255) ** 2.2] * 3 + [1.0],
+            atol=1e-6,
         )
         # clamp_to_edge on S: [0, w-1]; repeat on T: full int32 range
         assert (int(desc[3]), int(desc[4])) == (0, 1)
@@ -161,9 +161,12 @@ class TestMaterials:
         b.add_camera_node((0, 0, 3), (0, 0, 0), yfov=0.8, name="c")
         g = load_gltf(b.write_gltf(tmp_path / "m.gltf"))
         bank = load_materials(g)
-        adesc = bank.alpha_desc[bank.mat_alpha[0]]
-        offset = int(adesc[0])
-        np.testing.assert_array_equal(bank.alpha_data[offset : offset + 2], [0.0, 1.0])
+        desc = bank.color_desc[bank.mat_base[0]]
+        offset = int(desc[0])
+        # MASK thresholding baked per-texel into the alpha channel
+        np.testing.assert_array_equal(
+            bank.color_data[offset : offset + 2, 3], [0.0, 1.0]
+        )
 
     def test_blend_alpha_linear(self, tmp_path):
         b = procedural.SceneBuilder()
@@ -175,8 +178,10 @@ class TestMaterials:
         b.add_camera_node((0, 0, 3), (0, 0, 0), yfov=0.8, name="c")
         g = load_gltf(b.write_gltf(tmp_path / "b.gltf"))
         bank = load_materials(g)
-        adesc = bank.alpha_desc[bank.mat_alpha[0]]
-        np.testing.assert_allclose(bank.alpha_data[int(adesc[0])], 0.2, atol=1e-6)
+        desc = bank.color_desc[bank.mat_base[0]]
+        np.testing.assert_allclose(
+            bank.color_data[int(desc[0]), 3], 0.2, atol=1e-6
+        )
 
     def test_opaque_rgb_texture_gets_dummy_alpha(self, tmp_path):
         # BLEND mode but 3-channel source image (actual_c=3): dummy 1.0
@@ -190,6 +195,6 @@ class TestMaterials:
         b.add_camera_node((0, 0, 3), (0, 0, 0), yfov=0.8, name="c")
         g = load_gltf(b.write_gltf(tmp_path / "o.gltf"))
         bank = load_materials(g)
-        adesc = bank.alpha_desc[bank.mat_alpha[0]]
-        assert tuple(adesc[1:3]) == (1, 1)
-        assert bank.alpha_data[int(adesc[0])] == 1.0
+        desc = bank.color_desc[bank.mat_base[0]]
+        # 3-channel source (actual_c=3): opacity constant 1.0 despite BLEND
+        assert bank.color_data[int(desc[0]), 3] == 1.0

@@ -30,12 +30,21 @@ def box(tmp_path_factory):
     geo = load_geometry(gltf)
     mats = load_materials(gltf)
     grid = build_grid(geo.positions, (8, 8, 8))
-    scene = build_device_scene(geo, grid, mats)
+    scene = build_device_scene(geo, grid, mats, backend="grid")
     return path, gltf, cam, geo, mats, scene
 
 
+@pytest.fixture(scope="module")
+def box_mxu(box):
+    _, _, cam, geo, mats, _ = box
+    grid = build_grid(geo.positions, (8, 8, 8))
+    return cam, build_device_scene(geo, grid, mats, backend="mxu")
+
+
 def primary_rays(cam, w, h):
-    xs, ys = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    # Irrational in-pixel offsets: centered offsets on a symmetric scene put
+    # many rays exactly on quad seams, where hit/miss is ULP-dependent.
+    xs, ys = np.meshgrid(np.arange(w) + 0.3183, np.arange(h) + 0.618)
     dirs = (
         cam.lower_left_corner
         + cam.right * xs.reshape(-1, 1).astype(np.float32)
@@ -67,6 +76,60 @@ def test_grid_trace_matches_brute_force(box):
         elif np.isfinite(t) and (idx != tri_dev[i] or abs(t - t_dev[i]) > 1e-3):
             mismatches += 1
     assert mismatches <= max(2, W * H // 100), f"{mismatches} trace mismatches"
+
+
+def test_mxu_backend_matches_grid_trace(box, box_mxu):
+    """The MXU brute-force intersector implements the identical hit rule:
+    same nearest hit, same back-face cull, same barycentrics (float tol)."""
+    from zig_raytracing_contest_tpu.render.wavefront import trace_any
+
+    _, _, cam, _, _, scene_grid = box
+    _, scene_mxu = box_mxu
+    orig, dirs = primary_rays(cam, W, H)
+    o, d, act = jnp.asarray(orig), jnp.asarray(dirs), jnp.ones(W * H, bool)
+    tg, ug, vg, ig = (np.asarray(x) for x in trace_any(scene_grid, o, d, act))
+    tm, um, vm, im = (np.asarray(x) for x in trace_any(scene_mxu, o, d, act))
+    both_hit = np.isfinite(tg) & np.isfinite(tm)
+    # visibility agreement (ULP-edge cases excepted)
+    assert (np.isfinite(tg) != np.isfinite(tm)).sum() <= max(2, W * H // 100)
+    np.testing.assert_array_equal(ig[both_hit], im[both_hit])
+    np.testing.assert_allclose(tg[both_hit], tm[both_hit], atol=1e-3)
+    np.testing.assert_allclose(ug[both_hit], um[both_hit], atol=1e-3)
+    np.testing.assert_allclose(vg[both_hit], vm[both_hit], atol=1e-3)
+
+
+def test_mxu_render_close_to_grid_render(box, box_mxu):
+    _, _, cam, _, _, scene_grid = box
+    _, scene_mxu = box_mxu
+    cfg = Config(num_samples=2, max_bounce=3, seed=3)
+    img_g, _ = render_scene(scene_grid, cam, cfg)
+    img_m, _ = render_scene(scene_mxu, cam, cfg)
+    # Same RNG streams, same hit rule → images agree except float-edge pixels.
+    diff = np.abs(img_g.astype(int) - img_m.astype(int))
+    assert (diff > 2).mean() < 0.02, f"backends diverge: {(diff > 2).mean()}"
+
+
+def test_pallas_kernel_matches_xla_tiles(box, box_mxu):
+    """The Pallas VMEM kernel (interpret mode on CPU) must agree with the
+    portable XLA tile scan on (t, winning index)."""
+    from zig_raytracing_contest_tpu.ops.mxu_intersect import (
+        nearest_hit_pallas,
+        nearest_hit_xla,
+    )
+
+    _, _, cam, _, _, _ = box
+    _, scene_mxu = box_mxu
+    orig, dirs = primary_rays(cam, W, H)
+    pad = -len(orig) % 256
+    orig = np.pad(orig, ((0, pad), (0, 0)), constant_values=1.0)
+    dirs = np.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+    o, d = jnp.asarray(orig), jnp.asarray(dirs)
+    act = jnp.ones(len(orig), bool)
+    tx, ix = nearest_hit_xla(scene_mxu.mxu, o, d, act)
+    tp, ip = nearest_hit_pallas(scene_mxu.mxu, o, d, act, interpret=True)
+    np.testing.assert_allclose(np.asarray(tx), np.asarray(tp), atol=1e-5)
+    hit = np.isfinite(np.asarray(tx))
+    np.testing.assert_array_equal(np.asarray(ix)[hit], np.asarray(ip)[hit])
 
 
 def test_inactive_rays_report_miss(box):

@@ -17,7 +17,9 @@ import os
 from dataclasses import dataclass, field
 
 REFERENCE_KEYS = {"grid_resolution", "num_threads", "num_samples", "max_bounce"}
-EXTRA_KEYS = {"wave_size", "seed", "progressive_every"}
+EXTRA_INT_KEYS = {"wave_size", "seed", "progressive_every"}
+EXTRA_STR_KEYS = {"backend"}
+EXTRA_KEYS = EXTRA_INT_KEYS | EXTRA_STR_KEYS
 
 
 @dataclass
@@ -30,6 +32,7 @@ class Config:
     wave_size: int = 1 << 20  # rays in flight per jitted wave
     seed: int = 0
     progressive_every: int = 0  # waves between intermediate PNG dumps (0=off)
+    backend: str = "auto"  # intersection backend: auto | mxu | grid
 
     @property
     def host_threads(self) -> int:
@@ -54,8 +57,10 @@ class Config:
             num_samples=int(raw["num_samples"]),
             max_bounce=int(raw["max_bounce"]),
         )
-        for key in EXTRA_KEYS & set(raw):
+        for key in EXTRA_INT_KEYS & set(raw):
             setattr(cfg, key, int(raw[key]))
+        for key in EXTRA_STR_KEYS & set(raw):
+            setattr(cfg, key, str(raw[key]))
         return cfg
 
 

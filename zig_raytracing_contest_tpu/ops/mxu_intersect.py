@@ -1,0 +1,338 @@
+"""Dense TPU nearest-hit: triangle intersection without gathers.
+
+The grid/gather wavefront (render/wavefront.py) is semantically faithful but
+HBM-gather-bound on TPU (~0.1 Mrays/s measured): TPUs have no SIMD gather
+unit, so per-ray random access to triangle data serializes.  The TPU-native
+answer is to remove gathers entirely and feed the VPU/MXU dense tiles.
+
+Every triangle (v0, e1, e2) is baked on the host into its *world→barycentric*
+affine transform: M = [e1 e2 n]⁻¹ (n = e1 × e2) and c = -M·v0.  For a ray
+(o, d):
+
+    o' = M·o + c        d' = M·d
+    t  = -o'_w / d'_w   u = o'_u + t·d'_u     v = o'_v + t·d'_v
+
+which equals Möller–Trumbore exactly in real arithmetic (d'_w = dot(d, n)/|n|²
+and MT's det = -dot(d, n), so the reference's back-face cull ``det < 1e-8``
+(src/linalg.zig:705) becomes ``-d'_w · |n|² < 1e-8`` with |n|² baked per
+triangle).  A block of rays against a tile of triangles is then pure
+broadcasted FMA on (Rb, Kt) tiles — dense, exact f32, no memory randomness.
+
+Two implementations over one baked format:
+
+* ``nearest_hit_xla`` — lax.scan over tiles; correct everywhere (CPU tests,
+  shard_map), but materializes (R, Kt) intermediates to HBM.
+* ``nearest_hit_pallas`` — the production TPU kernel: a ray block lives in
+  VMEM, the triangle bank (13, Tp) lives in VMEM, the running nearest state
+  lives in output refs, and (Rb, Kt) intermediates never leave the chip.
+  Triangles are Morton-sorted at bake time so each Kt-tile is spatially
+  compact, and a per-tile AABB slab test against the ray block (with
+  distance culling vs. the running best) lets ``pl.when`` skip whole tiles.
+
+Brute force over (culled) triangle tiles trades FLOPs, which TPUs have in
+abundance, for memory randomness, which they punish.  Visibility equals the
+grid path by construction: same hit rule, same nearest-positive-t.
+
+Host baking uses float64 inverses for stability, cast to f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MT_EPSILON = 1e-8
+INF = jnp.inf
+
+RAY_BLOCK = 256  # rays per Pallas program instance
+TRI_TILE = 512  # triangles per inner tile (lane-aligned)
+
+# tri_data row layout: 9 rows of M (row-major), 3 rows of c, 1 row of |n|².
+_ROWS = 13
+
+
+class MXUTriangles(NamedTuple):
+    """Baked, Morton-sorted triangle bank (padded to a TRI_TILE multiple).
+
+    tri_data:  (13, Tp) f32 — transforms in Morton order; padding has
+               |n|² = 0 which the det test culls unconditionally.
+    tile_bbox: (6, Tp / TRI_TILE) f32 — [minx..z, maxx..z] per tile, padded
+               tiles get an inverted (never-hit) box.
+    perm:      (Tp,) int32 — Morton position → original unique triangle id.
+    """
+
+    tri_data: jnp.ndarray
+    tile_bbox: jnp.ndarray
+    perm: jnp.ndarray
+
+
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit xyz quantized coords into 30-bit Morton codes."""
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+
+
+def bake_triangles(
+    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, tile: int = TRI_TILE
+) -> MXUTriangles:
+    """Host-side bake: MT arrays → Morton-sorted transform bank + tile boxes."""
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    T = v0.shape[0]
+
+    # Morton order by centroid for spatially compact tiles.
+    centroid = v0 + (e1 + e2) / 3.0
+    lo = centroid.min(axis=0)
+    span = np.maximum(centroid.max(axis=0) - lo, 1e-30)
+    q = np.clip(((centroid - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
+    order = np.argsort(_morton3(q), kind="stable").astype(np.int64)
+    v0, e1, e2 = v0[order], e1[order], e2[order]
+
+    n = np.cross(e1, e2)
+    n_sq = np.sum(n * n, axis=-1)
+    # M rows are the reciprocal basis of [e1 e2 n]; det3 = dot(e1, e2×n) = |n|².
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_det3 = 1.0 / n_sq
+        r_u = np.cross(e2, n) * inv_det3[:, None]
+        r_v = np.cross(n, e1) * inv_det3[:, None]
+        r_w = n * inv_det3[:, None]
+    M = np.stack([r_u, r_v, r_w], axis=1)  # (T, 3, 3)
+    c = -np.einsum("tak,tk->ta", M, v0)  # (T, 3)
+
+    Tp = -(-max(T, 1) // tile) * tile
+    tri_data = np.zeros((_ROWS, Tp), np.float32)
+    tri_data[0:9, :T] = M.reshape(T, 9).T.astype(np.float32)
+    tri_data[9:12, :T] = c.T.astype(np.float32)
+    tri_data[12, :T] = n_sq.astype(np.float32)
+
+    # Per-tile AABBs over the three vertices of each member triangle.
+    verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (T, 3, 3)
+    num_tiles = Tp // tile
+    tile_bbox = np.zeros((6, num_tiles), np.float32)
+    tile_bbox[0:3] = np.float32(np.inf)
+    tile_bbox[3:6] = -np.float32(np.inf)
+    for ti in range(num_tiles):
+        chunk = verts[ti * tile : min((ti + 1) * tile, T)]
+        if len(chunk):
+            flat = chunk.reshape(-1, 3)
+            tile_bbox[0:3, ti] = flat.min(axis=0)
+            tile_bbox[3:6, ti] = flat.max(axis=0)
+
+    perm = np.zeros(Tp, np.int32)
+    perm[:T] = order.astype(np.int32)
+    return MXUTriangles(
+        tri_data=jnp.asarray(tri_data),
+        tile_bbox=jnp.asarray(tile_bbox),
+        perm=jnp.asarray(perm),
+    )
+
+
+def _intersect_tile(ox, oy, oz, dx, dy, dz, rows):
+    """Core math for one (rays × tile) block.  Inputs are (Rb, 1) ray
+    component columns and (13, Kt) transform rows; returns (t, u, v, ok)
+    as (Rb, Kt) tiles.  Shared verbatim by the XLA scan, the Pallas kernel,
+    and the per-ray winner recompute (exactness by construction)."""
+    m = lambda r: rows[r][None, :]
+    ou = ox * m(0) + oy * m(1) + oz * m(2) + m(9)
+    ov = ox * m(3) + oy * m(4) + oz * m(5) + m(10)
+    ow = ox * m(6) + oy * m(7) + oz * m(8) + m(11)
+    du = dx * m(0) + dy * m(1) + dz * m(2)
+    dv = dx * m(3) + dy * m(4) + dz * m(5)
+    dw = dx * m(6) + dy * m(7) + dz * m(8)
+    t = -ow / dw
+    u = ou + t * du
+    v = ov + t * dv
+    det = -dw * m(12)
+    ok = (
+        (det >= MT_EPSILON)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    return t, u, v, ok
+
+
+def recompute_uv(tris: MXUTriangles, orig, direction, idx):
+    """Recompute (t, u, v) for each ray's winning (Morton-space) triangle.
+
+    One 13-float gather per ray per bounce — the only gather in the MXU
+    path.  Same FMA sequence as the kernels, so results match bit-for-bit.
+    """
+    rows = tris.tri_data[:, idx]  # (13, R)
+    o = orig
+    d = direction
+    ou = o[:, 0] * rows[0] + o[:, 1] * rows[1] + o[:, 2] * rows[2] + rows[9]
+    ov = o[:, 0] * rows[3] + o[:, 1] * rows[4] + o[:, 2] * rows[5] + rows[10]
+    ow = o[:, 0] * rows[6] + o[:, 1] * rows[7] + o[:, 2] * rows[8] + rows[11]
+    du = d[:, 0] * rows[0] + d[:, 1] * rows[1] + d[:, 2] * rows[2]
+    dv = d[:, 0] * rows[3] + d[:, 1] * rows[4] + d[:, 2] * rows[5]
+    dw = d[:, 0] * rows[6] + d[:, 1] * rows[7] + d[:, 2] * rows[8]
+    t = -ow / dw
+    u = ou + t * du
+    v = ov + t * dv
+    return t, u, v
+
+
+def nearest_hit_xla(tris: MXUTriangles, orig, direction, active, tile: int = TRI_TILE):
+    """Portable tile scan (CPU tests / fallback).  Returns (t, idx_morton)."""
+    R = orig.shape[0]
+    Tp = tris.tri_data.shape[1]
+    num_tiles = Tp // tile
+    ox, oy, oz = (orig[:, i : i + 1] for i in range(3))
+    dx, dy, dz = (direction[:, i : i + 1] for i in range(3))
+
+    def body(carry, tile_idx):
+        best_t, best_i = carry
+        s = tile_idx * tile
+        rows = jax.lax.dynamic_slice(tris.tri_data, (0, s), (_ROWS, tile))
+        t, _, _, ok = _intersect_tile(ox, oy, oz, dx, dy, dz, rows)
+        t = jnp.where(ok, t, INF)
+        tile_min = jnp.min(t, axis=1)
+        ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        cand = jnp.min(jnp.where(t <= tile_min[:, None], ids, Tp), axis=1)
+        better = tile_min < best_t
+        best_t = jnp.where(better, tile_min, best_t)
+        best_i = jnp.where(better, s + cand, best_i)
+        return (best_t, best_i), None
+
+    init = (jnp.full((R,), INF, jnp.float32), jnp.zeros((R,), jnp.int32))
+    (best_t, best_i), _ = jax.lax.scan(
+        body, init, jnp.arange(num_tiles, dtype=jnp.int32)
+    )
+    best_t = jnp.where(active, best_t, INF)
+    return best_t, best_i
+
+
+def _pallas_kernel(o_ref, d_ref, act_ref, tri_ref, bbox_ref, t_ref, i_ref):
+    """One ray block vs. all triangle tiles, everything VMEM-resident.
+
+    o/d: (Rb, 3) ray block; act: (Rb, 1) f32 alive mask;
+    tri: (13, Tp) VMEM; bbox: (6, Ntiles) in SMEM (scalar reads with a
+    dynamic tile index are only lane-alignment-free there);
+    outputs t/(Rb, 1), idx/(Rb, 1).  The (Rb, 1) shapes exist purely to
+    satisfy Mosaic's 2D block layout rules for per-ray scalars.
+    """
+    Tp = tri_ref.shape[1]
+    num_tiles = Tp // TRI_TILE
+
+    t_ref[:, 0] = jnp.full((RAY_BLOCK,), INF, jnp.float32)
+    i_ref[:, 0] = jnp.zeros((RAY_BLOCK,), jnp.int32)
+
+    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]
+    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
+    inv_dx = 1.0 / dx[:, 0]
+    inv_dy = 1.0 / dy[:, 0]
+    inv_dz = 1.0 / dz[:, 0]
+    active = act_ref[:, 0] > 0.0
+
+    def tile_body(jt, _):
+        # --- block-level cull: any active ray hits this tile's AABB closer
+        # than its current best?
+        best = t_ref[:, 0]
+        tx1 = (bbox_ref[0, jt] - ox[:, 0]) * inv_dx
+        tx2 = (bbox_ref[3, jt] - ox[:, 0]) * inv_dx
+        ty1 = (bbox_ref[1, jt] - oy[:, 0]) * inv_dy
+        ty2 = (bbox_ref[4, jt] - oy[:, 0]) * inv_dy
+        tz1 = (bbox_ref[2, jt] - oz[:, 0]) * inv_dz
+        tz2 = (bbox_ref[5, jt] - oz[:, 0]) * inv_dz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+            jnp.minimum(tz1, tz2),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+            jnp.maximum(tz1, tz2),
+        )
+        # NaN-robust conservative form: a 0·inf NaN (axis-parallel ray with
+        # origin on a slab plane) must NOT skip the tile, so express as
+        # miss-conditions whose NaN comparisons evaluate False.
+        box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
+        box_hit = active & ~box_miss
+
+        @pl.when(jnp.any(box_hit))
+        def _():
+            s = pl.multiple_of(jt * TRI_TILE, TRI_TILE)
+            rows = tri_ref[:, pl.ds(s, TRI_TILE)]
+            t, _, _, ok = _intersect_tile(ox, oy, oz, dx, dy, dz, rows)
+            t = jnp.where(ok, t, INF)
+            tile_min = jnp.min(t, axis=1)
+            ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            cand = jnp.min(jnp.where(t <= tile_min[:, None], ids, Tp), axis=1)
+            best_t = t_ref[:, 0]
+            better = tile_min < best_t
+            t_ref[:, 0] = jnp.where(better, tile_min, best_t)
+            i_ref[:, 0] = jnp.where(better, s + cand, i_ref[:, 0])
+
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+
+# Deferred import so CPU-only environments can import this module header.
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def nearest_hit_pallas(tris: MXUTriangles, orig, direction, active, interpret=False):
+    """Production TPU path.  orig/direction (R, 3) with R % RAY_BLOCK == 0."""
+    R = orig.shape[0]
+    assert R % RAY_BLOCK == 0, f"ray wave {R} not a multiple of {RAY_BLOCK}"
+    nb = R // RAY_BLOCK
+    act = active.astype(jnp.float32)[:, None]
+
+    t, idx = pl.pallas_call(
+        _pallas_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                tris.tri_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                tris.tile_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(orig, direction, act, tris.tri_data, tris.tile_bbox)
+    return t[:, 0], idx[:, 0]
+
+
+def nearest_hit_mxu(tris: MXUTriangles, orig, direction, active):
+    """Dispatch + winner uv recompute.  Returns (t, u, v, unique_tri_idx)."""
+    if jax.default_backend() == "tpu":
+        t, idx_m = nearest_hit_pallas(tris, orig, direction, active)
+    else:
+        t, idx_m = nearest_hit_xla(tris, orig, direction, active)
+    _, u, v = recompute_uv(tris, orig, direction, idx_m)
+    hit = jnp.isfinite(t)
+    u = jnp.where(hit, u, 0.0)
+    v = jnp.where(hit, v, 0.0)
+    idx = tris.perm[jnp.clip(idx_m, 0, tris.perm.shape[0] - 1)]
+    return t, u, v, jnp.where(hit, idx, 0)

@@ -40,16 +40,19 @@ def _texel_index(coord_f, lo, hi, size):
 def sample_texture(data, desc_rows, u, v):
     """Sample a bank of textures bilinearly.
 
-    data: (P, 3) f32 or (P,) f32 flat texel bank.
-    desc_rows: (R, 7) int32 descriptor per ray.
+    data: (P, C) f32 or (P,) f32 flat texel bank.
+    desc_rows: (R, 7) descriptor per ray — int32, or f32-encoded (the fat
+    shade_table stores them as floats; values are exact up to 2^24 and the
+    repeat sentinels are ±2^30).
     u, v: (R,) f32 texture coordinates.
-    Returns (R, 3) or (R,) sampled values.
+    Returns (R, C) or (R,) sampled values.
     """
-    offset = desc_rows[:, 0]
-    w = desc_rows[:, 1]
-    h = desc_rows[:, 2]
-    u_min, u_max = desc_rows[:, 3], desc_rows[:, 4]
-    v_min, v_max = desc_rows[:, 5], desc_rows[:, 6]
+    desc_i = desc_rows.astype(jnp.int32)
+    offset = desc_i[:, 0]
+    w = desc_i[:, 1]
+    h = desc_i[:, 2]
+    u_min, u_max = desc_i[:, 3], desc_i[:, 4]
+    v_min, v_max = desc_i[:, 5], desc_i[:, 6]
 
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)

@@ -73,6 +73,8 @@ def _render_sharded(
     pix_per_dev: int,
     waves_per_dev: int,
 ):
+    wave_pixels = wave_size // spp
+
     def tile_fn(scene, fb_local, cam_origin, cam_lower_left, cam_right, cam_up, base_key):
         dev = jax.lax.axis_index("tiles")
         pix_base = dev * pix_per_dev
@@ -94,10 +96,16 @@ def _render_sharded(
                 wave_size,
                 base_key,
             )
+            # Scatter-free accumulation (see wavefront.accumulate_wave):
+            # zero rays past this device's tile or the real image, sum the
+            # spp samples of each pixel, one contiguous slice add.
             lp = pixel - pix_base
-            in_range = (lp >= 0) & (lp < pix_per_dev) & (pixel < num_pixels)
-            lp = jnp.clip(lp, 0, pix_per_dev - 1)
-            fb = fb.at[lp].add(jnp.where(in_range[:, None], radiance, 0.0))
+            in_range = (lp < pix_per_dev) & (pixel < num_pixels)
+            radiance = jnp.where(in_range[:, None], radiance, 0.0)
+            sums = radiance.reshape(wave_pixels, spp, 3).sum(axis=1)
+            lp0 = w * wave_pixels
+            cur = jax.lax.dynamic_slice(fb, (lp0, 0), (wave_pixels, 3))
+            fb = jax.lax.dynamic_update_slice(fb, cur + sums, (lp0, 0))
             segs = segs + jnp.sum(
                 jnp.where(in_range, segments, 0), dtype=jnp.int32
             )
@@ -136,8 +144,16 @@ def render_scene_sharded(
     num_pixels = w * h
     pix_per_dev = -(-num_pixels // n)
     rays_per_dev = pix_per_dev * spp
-    wave_size = min(config.wave_size, max(1024, rays_per_dev))
+    # Wave quantum: spp (whole pixels → scatter-free accumulation) × 256
+    # (Pallas ray blocks).
+    quantum = spp * 256
+    wave_size = max(
+        quantum,
+        min(config.wave_size, rays_per_dev + quantum - 1) // quantum * quantum,
+    )
     waves_per_dev = -(-rays_per_dev // wave_size)
+    # Per-device framebuffer padded to whole waves.
+    fb_rows_per_dev = waves_per_dev * (wave_size // spp)
     log.info(
         "Num samples: %d, max bounce %d", config.num_samples, config.max_bounce
     )
@@ -147,7 +163,7 @@ def render_scene_sharded(
     )
 
     fb_sharding = NamedSharding(mesh, P("tiles"))
-    fb = jnp.zeros((pix_per_dev * n, 3), jnp.float32, device=fb_sharding)
+    fb = jnp.zeros((fb_rows_per_dev * n, 3), jnp.float32, device=fb_sharding)
     replicated = NamedSharding(mesh, P())
     scene = jax.device_put(scene, replicated)
 
@@ -159,7 +175,7 @@ def render_scene_sharded(
             jax.device_put(jnp.asarray(camera.lower_left_corner), replicated),
             jax.device_put(jnp.asarray(camera.right), replicated),
             jax.device_put(jnp.asarray(camera.up), replicated),
-            jax.device_put(jax.random.key(config.seed), replicated),
+            jax.device_put(jnp.uint32(config.seed), replicated),
             mesh=mesh,
             width=w,
             spp=spp,
@@ -169,7 +185,10 @@ def render_scene_sharded(
             pix_per_dev=pix_per_dev,
             waves_per_dev=waves_per_dev,
         )
-        img = np.asarray(linalg.vec3_to_rgb(fb[:num_pixels] / spp)).reshape(h, w, 3)
+        # Strip per-device padding, then global padding.
+        fb_np = np.asarray(fb).reshape(n, fb_rows_per_dev, 3)[:, :pix_per_dev]
+        fb_np = fb_np.reshape(-1, 3)[:num_pixels]
+        img = np.asarray(linalg.vec3_to_rgb(jnp.asarray(fb_np) / spp)).reshape(h, w, 3)
         segments = int(np.asarray(segs).sum())
 
     stats = RenderStats(

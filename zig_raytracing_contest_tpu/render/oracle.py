@@ -97,13 +97,12 @@ class Oracle:
         w0 = 1.0 - u - v
         tc = g.texcoords[idx, 0] * w0 + g.texcoords[idx, 1] * u + g.texcoords[idx, 2] * v
         mat = int(g.material_idx[idx])
-        albedo = sample_texture(m.color_data, m.color_desc[m.mat_base[mat]], tc[0], tc[1])
+        base = sample_texture(m.color_data, m.color_desc[m.mat_base[mat]], tc[0], tc[1])
+        albedo = base[:3]
+        opacity = base[3]  # reference transparency == base-color alpha channel
         emissive = sample_texture(
             m.color_data, m.color_desc[m.mat_emissive[mat]], tc[0], tc[1]
-        )
-        opacity = sample_texture(
-            m.alpha_data, m.alpha_desc[m.mat_alpha[mat]], tc[0], tc[1]
-        )
+        )[:3]
         normal = g.normals[idx, 0] * w0 + g.normals[idx, 1] * u + g.normals[idx, 2] * v
 
         new_orig = orig + direction * (t + FLT_EPSILON)

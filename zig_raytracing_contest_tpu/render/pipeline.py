@@ -57,7 +57,9 @@ def prepare_scene(in_path: str, config: Config, camera_name=None, width=None, he
 
     with timers.phase("compile", "Compiled"):
         grid = build_grid(geometry.positions, config.grid_resolution, log=log.info)
-        scene = build_device_scene(geometry, grid, materials)
+        scene = build_device_scene(geometry, grid, materials, backend=config.backend)
+        if scene.mxu is not None:
+            log.info("Intersection backend: MXU brute force")
 
     return scene, camera, timers
 
@@ -74,8 +76,16 @@ def render_scene(
     w, h, spp = camera.width, camera.height, config.num_samples
     num_pixels = w * h
     total_rays = num_pixels * spp
-    wave_size = min(config.wave_size, max(1024, total_rays))
+    # Waves are quantized to spp*256 rays: multiples of spp so every wave
+    # covers whole pixels (scatter-free accumulation) and of 256 for the
+    # Pallas ray blocks.  Padding rays of the final wave are masked.
+    quantum = spp * 256
+    wave_size = max(
+        quantum, min(config.wave_size, total_rays + quantum - 1) // quantum * quantum
+    )
     num_waves = -(-total_rays // wave_size)
+    wave_pixels = wave_size // spp
+    fb_rows = num_waves * wave_pixels  # padded framebuffer
     log.info(
         "Num samples: %d, max bounce %d", config.num_samples, config.max_bounce
     )
@@ -84,9 +94,9 @@ def render_scene(
     cam_llc = jnp.asarray(camera.lower_left_corner)
     cam_right = jnp.asarray(camera.right)
     cam_up = jnp.asarray(camera.up)
-    base_key = jax.random.key(config.seed)
+    base_key = jnp.uint32(config.seed)
 
-    fb = jnp.zeros((num_pixels, 3), jnp.float32)
+    fb = jnp.zeros((fb_rows, 3), jnp.float32)
     segments = 0
 
     with timers.phase("render", "Rendered"):
@@ -114,9 +124,9 @@ def render_scene(
                 and wave + 1 < num_waves
             ):
                 # Scanline-progressive dump: pixels not yet reached stay dark.
-                partial_px = np.asarray(linalg.vec3_to_rgb(fb / spp))
+                partial_px = np.asarray(linalg.vec3_to_rgb(fb[:num_pixels] / spp))
                 write_png(progressive_path, partial_px.reshape(h, w, 3))
-        img = np.asarray(linalg.vec3_to_rgb(fb / spp)).reshape(h, w, 3)
+        img = np.asarray(linalg.vec3_to_rgb(fb[:num_pixels] / spp)).reshape(h, w, 3)
 
     stats = RenderStats(
         width=w,

@@ -46,6 +46,22 @@ class TraceResult(NamedTuple):
     dup_idx: jnp.ndarray  # (R,) int32 — index into duplicated tri arrays
 
 
+def trace_any(scene: DeviceScene, orig, direction, active):
+    """Backend dispatch: returns (t, u, v, unique_tri_idx).
+
+    MXU brute force when the scene baked transforms (scene.mxu), else the
+    grid/gather wavefront.  Both implement the same hit rule; visibility is
+    identical by construction (the grid only prunes work, never hits).
+    """
+    if scene.mxu is not None:
+        from ..ops.mxu_intersect import nearest_hit_mxu
+
+        t, u, v, idx = nearest_hit_mxu(scene.mxu, orig, direction, active)
+        return t, u, v, idx
+    hit = trace_wave(scene, orig, direction, active)
+    return hit.t, hit.u, hit.v, scene.dup_to_tri[hit.dup_idx]
+
+
 def trace_wave(scene: DeviceScene, orig, direction, active) -> TraceResult:
     """Nearest-hit for a wave of rays via grid DDA + Möller–Trumbore.
 
@@ -119,28 +135,31 @@ def _interpolate(per_vertex, u, v):
     return per_vertex[:, 0] * w0 + per_vertex[:, 1] * u[:, None] + per_vertex[:, 2] * v[:, None]
 
 
-def shade_and_scatter(scene: DeviceScene, orig, direction, hit: TraceResult, keys, bounce: int):
+def shade_and_scatter(scene: DeviceScene, orig, direction, t, u, v, tri, keys, bounce: int):
     """One shading round: texture fetch, alpha test, diffuse scatter.
 
-    Returns (new_orig, new_dir, emissive_term, albedo_term, pass_through,
-    missed) — all gated downstream by the caller's alive mask.
+    ``tri`` indexes the unique triangle attribute arrays.  Returns
+    (new_orig, new_dir, emissive_term, albedo_term, pass_through, missed) —
+    all gated downstream by the caller's alive mask.
     Reference: traceRayRecursive body (src/stage3.zig:188-220).
     """
-    missed = hit.t == INF
+    missed = t == INF
 
-    tri = scene.dup_to_tri[hit.dup_idx]
-    tri_uv = scene.texcoords[tri]  # (R, 3, 2)
-    tri_nrm = scene.normals[tri]  # (R, 3, 3)
-    mat = scene.material_idx[tri]  # (R,)
+    # ONE fat gather per ray: normals + uvs + both texture descriptors
+    # (scene/types.py shade_table layout).
+    rec = scene.shade_table[tri]  # (R, 32)
+    tri_nrm = rec[:, 0:9].reshape(-1, 3, 3)
+    tri_uv = rec[:, 9:15].reshape(-1, 3, 2)
+    base_desc = rec[:, 15:22]
+    emis_desc = rec[:, 22:29]
 
-    texcoord = _interpolate(tri_uv, hit.u, hit.v)
+    texcoord = _interpolate(tri_uv, u, v)
     tc_u, tc_v = texcoord[:, 0], texcoord[:, 1]
-    albedo = sample_texture(scene.color_data, scene.color_desc[scene.mat_base[mat]], tc_u, tc_v)
-    emissive = sample_texture(
-        scene.color_data, scene.color_desc[scene.mat_emissive[mat]], tc_u, tc_v
-    )
-    opacity = sample_texture(scene.alpha_data, scene.alpha_desc[scene.mat_alpha[mat]], tc_u, tc_v)
-    normal = _interpolate(tri_nrm, hit.u, hit.v)
+    base = sample_texture(scene.color_data, base_desc, tc_u, tc_v)  # (R, 4)
+    albedo = base[:, :3]
+    opacity = base[:, 3]  # reference's "transparency" texture == base alpha
+    emissive = sample_texture(scene.color_data, emis_desc, tc_u, tc_v)[:, :3]
+    normal = _interpolate(tri_nrm, u, v)
 
     # Stochastic alpha: rand > opacity → continue straight through
     # (src/stage3.zig:207-213).  Both branches consume a bounce.
@@ -152,7 +171,7 @@ def shade_and_scatter(scene: DeviceScene, orig, direction, hit: TraceResult, key
     gauss = rng.normal3(keys, 2 * bounce + 2)
     scattered = linalg.normalize(normal + linalg.normalize(gauss))
 
-    new_orig = linalg.ray_at(orig, direction, hit.t + FLT_EPSILON)
+    new_orig = linalg.ray_at(orig, direction, t + FLT_EPSILON)
     new_dir = jnp.where(pass_through[:, None], direction, scattered)
 
     return new_orig, new_dir, emissive, albedo, pass_through, missed
@@ -180,7 +199,7 @@ def render_wave(
     """
     g = g_start + jnp.arange(wave_size, dtype=jnp.int32)
     pixel = g // spp
-    keys = rng.ray_keys(base_key, g)
+    keys = rng.ray_streams(base_key, g)
 
     x = (pixel % width).astype(jnp.float32)
     y = (pixel // width).astype(jnp.float32)
@@ -199,9 +218,9 @@ def render_wave(
 
     for bounce in range(max_bounce):
         segments = segments + alive.astype(jnp.int32)
-        hit = trace_wave(scene, orig, direction, alive)
+        t, u, v, tri = trace_any(scene, orig, direction, alive)
         new_orig, new_dir, emissive, albedo, pass_through, missed = shade_and_scatter(
-            scene, orig, direction, hit, keys, bounce
+            scene, orig, direction, t, u, v, tri, keys, bounce
         )
 
         add_env = alive & missed
@@ -221,6 +240,26 @@ def render_wave(
         # exhaustion returns black (src/stage3.zig:189-191).
 
     return pixel, radiance, segments
+
+
+def accumulate_wave(framebuffer, pixel, radiance, segments, g_start, spp, num_pixels):
+    """Regular-pattern accumulation: NO scatter (TPU scatters serialize).
+
+    Waves are spp-aligned, so each pixel's spp samples are contiguous in
+    the global ray order: reshape-(wp, spp, 3)-sum, then one contiguous
+    dynamic-slice add into the (padded) framebuffer.  Rays whose pixel is
+    past num_pixels (final-wave padding) are zeroed first.
+    """
+    wave_size = radiance.shape[0]
+    wp = wave_size // spp
+    in_range = pixel < num_pixels
+    radiance = jnp.where(in_range[:, None], radiance, 0.0)
+    sums = radiance.reshape(wp, spp, 3).sum(axis=1)
+    pix0 = g_start // spp
+    cur = jax.lax.dynamic_slice(framebuffer, (pix0, 0), (wp, 3))
+    framebuffer = jax.lax.dynamic_update_slice(framebuffer, cur + sums, (pix0, 0))
+    wave_segments = jnp.sum(jnp.where(in_range, segments, 0), dtype=jnp.int32)
+    return framebuffer, wave_segments
 
 
 @partial(
@@ -243,12 +282,12 @@ def render_wave_accumulate(
     num_pixels: int,
     base_key,
 ):
-    """Jitted wave render + scatter-add into the (num_pixels, 3) framebuffer.
+    """Jitted wave render + accumulate into the padded framebuffer.
 
-    Rays past the last valid global id (padding of the final wave) are
-    masked to zero contribution.  Returns (framebuffer, wave_segments) where
-    wave_segments is an int32 scalar (host accumulates across waves — a
-    single wave's segment count always fits int32).
+    ``wave_size`` must be a multiple of spp (pixel-aligned waves) and the
+    framebuffer padded to ``num_waves * wave_size / spp`` rows.  Returns
+    (framebuffer, wave_segments) with wave_segments an int32 scalar (host
+    accumulates across waves).
     """
     pixel, radiance, segments = render_wave(
         scene,
@@ -263,9 +302,6 @@ def render_wave_accumulate(
         wave_size,
         base_key,
     )
-    in_range = pixel < num_pixels
-    pixel = jnp.clip(pixel, 0, num_pixels - 1)
-    radiance = jnp.where(in_range[:, None], radiance, 0.0)
-    framebuffer = framebuffer.at[pixel].add(radiance)
-    wave_segments = jnp.sum(jnp.where(in_range, segments, 0), dtype=jnp.int32)
-    return framebuffer, wave_segments
+    return accumulate_wave(
+        framebuffer, pixel, radiance, segments, g_start, spp, num_pixels
+    )

@@ -1,19 +1,23 @@
 """Material/texture baking into TPU-friendly flat texture banks.
 
 Mirrors stage1.loadMaterials (src/stage1.zig:381-496): per material, three
-textures — base_color (RGB × baseColorFactor), emissive (RGB × emissiveFactor)
-and "transparency" (actually opacity: the base-color alpha channel for
-non-opaque materials whose source image really has alpha, thresholded by
-alphaCutoff in MASK mode).  Absent textures become 1×1 dummies holding the
-factor (src/stage1.zig:411-425).  Sampler clamp_to_edge sets per-axis clamp
-ranges; anything else is repeat encoded as the full int32 range
-(src/stage1.zig:381-409).
+logical textures — base_color (RGB × baseColorFactor), emissive (RGB ×
+emissiveFactor) and "transparency" (actually opacity: the base-color alpha
+channel for non-opaque materials whose source image really has alpha,
+thresholded by alphaCutoff in MASK mode).  Absent textures become 1×1
+dummies holding the factor (src/stage1.zig:411-425).  Sampler clamp_to_edge
+sets per-axis clamp ranges; anything else is repeat encoded as the full
+int32 range (src/stage1.zig:381-409).
 
-TPU re-design: instead of per-texture pointers, all color texels concatenate
-into one flat (P, 3) array and all alpha texels into one flat (P,) array,
-with per-texture descriptor rows [offset, w, h, u_min, u_max, v_min, v_max]
-(int32).  A shading wave gathers descriptor rows by material id, then texels
-by computed flat indices — two vectorized gathers, no host round trips.
+TPU re-design: all texels concatenate into ONE flat (P, 4) RGBA bank with
+per-texture descriptor rows [offset, w, h, u_min, u_max, v_min, v_max]
+(int32).  The reference's separate transparency texture is, by construction,
+the alpha channel of the very same base-color image (src/stage1.zig:449-452)
+— so opacity rides in channel 3 of the base-color entry and one bilinear
+sample yields albedo AND opacity (per-texel MASK thresholding is baked, then
+bilinear, exactly like the reference's order).  This halves the texel
+gathers in the shading hot path — gathers, not FLOPs, are what TPUs punish.
+Emissive entries carry 1.0 in channel 3.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .gltf import WRAP_CLAMP_TO_EDGE, Gltf
+from .gltf import WRAP_CLAMP_TO_EDGE
 
 INT32_MIN = -(2**31)
 INT32_MAX = 2**31 - 1
@@ -40,20 +44,17 @@ DESC_COLS = 7
 
 @dataclass
 class MaterialBank:
-    color_data: np.ndarray  # (Pc, 3) f32 — all color texels
-    color_desc: np.ndarray  # (Nc, 7) int32
-    alpha_data: np.ndarray  # (Pa,) f32 — all opacity texels
-    alpha_desc: np.ndarray  # (Na, 7) int32
-    mat_base: np.ndarray  # (M,) int32 → color_desc row
+    color_data: np.ndarray  # (P, 4) f32 — RGBA texels (A = opacity semantics)
+    color_desc: np.ndarray  # (N, 7) int32
+    mat_base: np.ndarray  # (M,) int32 → color_desc row (albedo + opacity)
     mat_emissive: np.ndarray  # (M,) int32 → color_desc row
-    mat_alpha: np.ndarray  # (M,) int32 → alpha_desc row
 
     @property
     def num_materials(self) -> int:
         return self.mat_base.shape[0]
 
 
-def _wrap_ranges(gltf: Gltf, texture: dict, w: int, h: int) -> tuple[int, int, int, int]:
+def _wrap_ranges(gltf, texture: dict, w: int, h: int) -> tuple[int, int, int, int]:
     u_min, u_max = INT32_MIN, INT32_MAX
     v_min, v_max = INT32_MIN, INT32_MAX
     if "sampler" in texture:
@@ -66,10 +67,9 @@ def _wrap_ranges(gltf: Gltf, texture: dict, w: int, h: int) -> tuple[int, int, i
 
 
 class _Bank:
-    """Accumulates texel blobs + descriptors with dedup by cache key."""
+    """Accumulates RGBA texel blobs + descriptors with dedup by cache key."""
 
-    def __init__(self, channels: int):
-        self.channels = channels
+    def __init__(self):
         self.blobs: list[np.ndarray] = []
         self.descs: list[list[int]] = []
         self.offset = 0
@@ -79,7 +79,7 @@ class _Bank:
         if key in self.cache:
             return self.cache[key]
         idx = len(self.descs)
-        self.blobs.append(texels.reshape(-1, self.channels).astype(np.float32))
+        self.blobs.append(texels.reshape(-1, 4).astype(np.float32))
         self.descs.append([self.offset, w, h, *wrap])
         self.offset += w * h
         self.cache[key] = idx
@@ -87,89 +87,88 @@ class _Bank:
 
     def finish(self) -> tuple[np.ndarray, np.ndarray]:
         if not self.blobs:
-            # Degenerate but valid: one white dummy so gathers stay in range.
-            self.blobs.append(np.ones((1, self.channels), np.float32))
+            self.blobs.append(np.ones((1, 4), np.float32))
             self.descs.append([0, 1, 1, 0, 0, 0, 0])
-        data = np.concatenate(self.blobs, axis=0)
-        if self.channels == 1:
-            data = data.reshape(-1)
-        return data, np.asarray(self.descs, np.int32)
+        return np.concatenate(self.blobs, axis=0), np.asarray(self.descs, np.int32)
 
 
-def _color_texture(bank: _Bank, gltf: Gltf, texture_info, factor) -> int:
-    """src/stage1.zig:427-445 — RGB texels × factor, or 1×1 dummy factor."""
-    factor = np.asarray(factor[:3], np.float32)
-    if texture_info is not None:
-        tex_idx = texture_info["index"]
-        texture = gltf.doc["textures"][tex_idx]
-        image = gltf.images[texture["source"]]
-        key = ("tex", tex_idx, tuple(np.round(factor, 7)))
-        if key in bank.cache:
-            return bank.cache[key]
-        texels = image.pixels[:, :3] * factor
-        wrap = _wrap_ranges(gltf, texture, image.width, image.height)
-        return bank.add(key, texels, image.width, image.height, wrap)
-    key = ("dummy", tuple(np.round(factor, 7)))
-    return bank.add(key, factor.reshape(1, 3), 1, 1, (0, 0, 0, 0))
+def _opacity_channel(gltf, material: dict, image) -> tuple:
+    """Per-texel opacity for a textured base color, or a constant.
 
-
-def _alpha_texture(bank: _Bank, gltf: Gltf, material: dict) -> int:
-    """src/stage1.zig:447-469 — opacity from base-color alpha, else dummy 1."""
+    Reference semantics (src/stage1.zig:447-469): only non-opaque materials
+    whose source image really has alpha (actual_c 4 or 2) get the alpha
+    channel; MASK mode thresholds per-texel by alphaCutoff; everything else
+    is constant 1.0.  Returns (key_part, (P,) array or None for constant 1).
+    """
     alpha_mode = material.get("alphaMode", "OPAQUE")
+    if alpha_mode != "OPAQUE" and image.actual_c in (4, 2):
+        alpha = image.pixels[:, 3]
+        if alpha_mode == "MASK":
+            cutoff = np.float32(material.get("alphaCutoff", 0.5))
+            return ("mask", float(cutoff)), (alpha > cutoff).astype(np.float32)
+        return ("blend",), alpha
+    return ("opaque",), None
+
+
+def _base_color_entry(bank: _Bank, gltf, material: dict) -> int:
+    """Base color + opacity as one RGBA entry (src/stage1.zig:427-469)."""
     pbr = material.get("pbrMetallicRoughness", {})
     info = pbr.get("baseColorTexture")
-    if alpha_mode != "OPAQUE" and info is not None:
+    factor = np.asarray(
+        pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])[:3], np.float32
+    )
+    if info is not None:
         tex_idx = info["index"]
         texture = gltf.doc["textures"][tex_idx]
         image = gltf.images[texture["source"]]
-        if image.actual_c in (4, 2):
-            cutoff = np.float32(material.get("alphaCutoff", 0.5))
-            key = ("tex", tex_idx, alpha_mode, float(cutoff) if alpha_mode == "MASK" else None)
-            if key in bank.cache:
-                return bank.cache[key]
-            alpha = image.pixels[:, 3]
-            if alpha_mode == "MASK":
-                alpha = (alpha > cutoff).astype(np.float32)
-            wrap = _wrap_ranges(gltf, texture, image.width, image.height)
-            return bank.add(key, alpha, image.width, image.height, wrap)
-    return bank.add(("dummy", 1.0), np.asarray([1.0], np.float32), 1, 1, (0, 0, 0, 0))
+        akey, opacity = _opacity_channel(gltf, material, image)
+        key = ("base", tex_idx, tuple(np.round(factor, 7)), akey)
+        if key in bank.cache:
+            return bank.cache[key]
+        texels = np.empty((image.pixels.shape[0], 4), np.float32)
+        texels[:, :3] = image.pixels[:, :3] * factor
+        texels[:, 3] = 1.0 if opacity is None else opacity
+        wrap = _wrap_ranges(gltf, texture, image.width, image.height)
+        return bank.add(key, texels, image.width, image.height, wrap)
+    key = ("dummy", tuple(np.round(factor, 7)), 1.0)
+    texel = np.concatenate([factor, [1.0]]).astype(np.float32)
+    return bank.add(key, texel.reshape(1, 4), 1, 1, (0, 0, 0, 0))
 
 
-def load_materials(gltf: Gltf) -> MaterialBank:
-    colors = _Bank(3)
-    alphas = _Bank(1)
+def _emissive_entry(bank: _Bank, gltf, material: dict) -> int:
+    """Emissive RGB × factor, alpha channel unused (1).
+    (src/stage1.zig:477-479)."""
+    info = material.get("emissiveTexture")
+    factor = np.asarray(material.get("emissiveFactor", [0.0, 0.0, 0.0]), np.float32)
+    if info is not None:
+        tex_idx = info["index"]
+        texture = gltf.doc["textures"][tex_idx]
+        image = gltf.images[texture["source"]]
+        key = ("emis", tex_idx, tuple(np.round(factor, 7)))
+        if key in bank.cache:
+            return bank.cache[key]
+        texels = np.empty((image.pixels.shape[0], 4), np.float32)
+        texels[:, :3] = image.pixels[:, :3] * factor
+        texels[:, 3] = 1.0
+        wrap = _wrap_ranges(gltf, texture, image.width, image.height)
+        return bank.add(key, texels, image.width, image.height, wrap)
+    key = ("dummy", tuple(np.round(factor, 7)), 1.0)
+    texel = np.concatenate([factor, [1.0]]).astype(np.float32)
+    return bank.add(key, texel.reshape(1, 4), 1, 1, (0, 0, 0, 0))
+
+
+def load_materials(gltf) -> MaterialBank:
+    bank = _Bank()
     mat_base: list[int] = []
     mat_emissive: list[int] = []
-    mat_alpha: list[int] = []
-
     for material in gltf.doc.get("materials", []):
-        pbr = material.get("pbrMetallicRoughness", {})
-        mat_base.append(
-            _color_texture(
-                colors,
-                gltf,
-                pbr.get("baseColorTexture"),
-                pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0]),
-            )
-        )
-        mat_emissive.append(
-            _color_texture(
-                colors,
-                gltf,
-                material.get("emissiveTexture"),
-                material.get("emissiveFactor", [0.0, 0.0, 0.0]),
-            )
-        )
-        mat_alpha.append(_alpha_texture(alphas, gltf, material))
+        mat_base.append(_base_color_entry(bank, gltf, material))
+        mat_emissive.append(_emissive_entry(bank, gltf, material))
 
-    color_data, color_desc = colors.finish()
-    alpha_data, alpha_desc = alphas.finish()
+    color_data, color_desc = bank.finish()
     return MaterialBank(
         color_data=color_data,
         color_desc=color_desc,
-        alpha_data=alpha_data,
-        alpha_desc=alpha_desc,
         mat_base=np.asarray(mat_base or [0], np.int32),
         mat_emissive=np.asarray(mat_emissive or [0], np.int32),
-        mat_alpha=np.asarray(mat_alpha or [0], np.int32),
     )

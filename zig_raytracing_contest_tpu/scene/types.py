@@ -4,9 +4,16 @@ TPU analogue of the reference's baked Scene (src/stage3.zig:136-141): grid +
 [begin, end) cell ranges + SoA triangles.  Hot-path position data
 (Möller–Trumbore precomputed v0/e1/e2, src/linalg.zig:688-694) is duplicated
 per overlapping cell in DDA-visit order exactly like bakeInto
-(src/stage2.zig:137-164); shading attributes stay unique and are reached via
-``dup_to_tri`` with one gather at shade time — the reference duplicates both,
-but on TPU the extra HBM for cold attributes buys nothing.
+(src/stage2.zig:137-164).
+
+Shading data is re-laid-out for gather economy (gathers are the scarce
+resource on TPU, not memory): one fat (T, 32) f32 record per unique
+triangle packs vertex normals (9), vertex uvs (6), the base-color texture
+descriptor (7) and the emissive descriptor (7) — so the whole shading stage
+is ONE row gather plus two bilinear texture lookups from the unified RGBA
+bank.  Descriptor ints are stored as f32; repeat-mode sentinel bounds are
+clamped to ±2^30 (exactly representable, still larger than any real texel
+coordinate after the sampler's own safety clamp).
 """
 
 from __future__ import annotations
@@ -18,8 +25,22 @@ import numpy as np
 
 from ..grid.builder import GridBuild
 from ..ops.dda import GridParams
+from ..ops.mxu_intersect import MXUTriangles, bake_triangles
 from .geometry import GeometryArrays
 from .materials import MaterialBank
+
+# Above this many triangles, brute-force MXU intersection stops paying off
+# vs. grid traversal; tuned for v5e (see ops/mxu_intersect.py docstring).
+MXU_BACKEND_MAX_TRIANGLES = 1 << 16
+
+# shade_table column layout
+COL_NRM = 0  # 9 cols: 3 vertices × xyz (world, normalized)
+COL_UV = 9  # 6 cols: 3 vertices × uv
+COL_BASE_DESC = 15  # 7 cols: base-color descriptor (f32-encoded)
+COL_EMIS_DESC = 22  # 7 cols: emissive descriptor
+SHADE_COLS = 32  # padded for tiling
+
+_DESC_SENTINEL = float(1 << 30)
 
 
 class DeviceScene(NamedTuple):
@@ -31,23 +52,46 @@ class DeviceScene(NamedTuple):
     tri_e1: jnp.ndarray  # (D, 3) f32
     tri_e2: jnp.ndarray  # (D, 3) f32
     dup_to_tri: jnp.ndarray  # (D,) int32
-    # Unique shading attributes:
-    normals: jnp.ndarray  # (T, 3, 3) f32
-    texcoords: jnp.ndarray  # (T, 3, 2) f32
-    material_idx: jnp.ndarray  # (T,) int32
-    # Material/texture banks:
-    mat_base: jnp.ndarray  # (M,) int32
-    mat_emissive: jnp.ndarray  # (M,) int32
-    mat_alpha: jnp.ndarray  # (M,) int32
-    color_desc: jnp.ndarray  # (Nc, 7) int32
-    color_data: jnp.ndarray  # (Pc, 3) f32
-    alpha_desc: jnp.ndarray  # (Na, 7) int32
-    alpha_data: jnp.ndarray  # (Pa,) f32
+    # Unique-triangle shading records + unified RGBA texture bank:
+    shade_table: jnp.ndarray  # (T, 32) f32
+    color_data: jnp.ndarray  # (P, 4) f32 (A channel = opacity semantics)
+    # MXU brute-force backend (None → grid/gather traversal is used):
+    mxu: MXUTriangles | None = None
+
+
+def _desc_to_f32(desc_rows: np.ndarray) -> np.ndarray:
+    d = desc_rows.astype(np.float64)
+    return np.clip(d, -_DESC_SENTINEL, _DESC_SENTINEL).astype(np.float32)
+
+
+def build_shade_table(geometry: GeometryArrays, materials: MaterialBank) -> np.ndarray:
+    T = geometry.num_triangles
+    table = np.zeros((T, SHADE_COLS), np.float32)
+    table[:, COL_NRM : COL_NRM + 9] = geometry.normals.reshape(T, 9)
+    table[:, COL_UV : COL_UV + 6] = geometry.texcoords.reshape(T, 6)
+    mat = geometry.material_idx
+    base_desc = _desc_to_f32(materials.color_desc[materials.mat_base[mat]])
+    emis_desc = _desc_to_f32(materials.color_desc[materials.mat_emissive[mat]])
+    table[:, COL_BASE_DESC : COL_BASE_DESC + 7] = base_desc
+    table[:, COL_EMIS_DESC : COL_EMIS_DESC + 7] = emis_desc
+    return table
 
 
 def build_device_scene(
-    geometry: GeometryArrays, grid: GridBuild, materials: MaterialBank
+    geometry: GeometryArrays,
+    grid: GridBuild,
+    materials: MaterialBank,
+    backend: str = "auto",
 ) -> DeviceScene:
+    """backend: 'auto' | 'mxu' | 'grid'.  'auto' picks the MXU brute-force
+    intersector for scenes small enough that dense tile math beats traversal
+    (TPUs punish gathers, not FLOPs), else the grid."""
+    if backend not in ("auto", "mxu", "grid"):
+        raise ValueError(f"unknown backend {backend!r}")
+    use_mxu = backend == "mxu" or (
+        backend == "auto" and geometry.num_triangles <= MXU_BACKEND_MAX_TRIANGLES
+    )
+
     dup = grid.dup_to_tri.astype(np.int64)
     p0 = geometry.positions[dup, 0]
     p1 = geometry.positions[dup, 1]
@@ -71,14 +115,15 @@ def build_device_scene(
         tri_e1=jnp.asarray(pad1(p1 - p0), jnp.float32),
         tri_e2=jnp.asarray(pad1(p2 - p0), jnp.float32),
         dup_to_tri=jnp.asarray(pad1(grid.dup_to_tri), jnp.int32),
-        normals=jnp.asarray(geometry.normals, jnp.float32),
-        texcoords=jnp.asarray(geometry.texcoords, jnp.float32),
-        material_idx=jnp.asarray(geometry.material_idx, jnp.int32),
-        mat_base=jnp.asarray(materials.mat_base, jnp.int32),
-        mat_emissive=jnp.asarray(materials.mat_emissive, jnp.int32),
-        mat_alpha=jnp.asarray(materials.mat_alpha, jnp.int32),
-        color_desc=jnp.asarray(materials.color_desc, jnp.int32),
+        shade_table=jnp.asarray(build_shade_table(geometry, materials)),
         color_data=jnp.asarray(materials.color_data, jnp.float32),
-        alpha_desc=jnp.asarray(materials.alpha_desc, jnp.int32),
-        alpha_data=jnp.asarray(materials.alpha_data, jnp.float32),
+        mxu=(
+            bake_triangles(
+                geometry.positions[:, 0],
+                geometry.positions[:, 1] - geometry.positions[:, 0],
+                geometry.positions[:, 2] - geometry.positions[:, 0],
+            )
+            if use_mxu
+            else None
+        ),
     )
