@@ -141,9 +141,13 @@ def build_grid(
         e = min(s + _SAT_CHUNK, len(tri_id))
         ids = tri_id[s:e]
         cell = np.stack([cx[s:e], cy[s:e], cz[s:e]], axis=-1).astype(np.float32)
-        lo = bbox_min + cell * cell_size  # getCellBbox (src/linalg.zig:433-441)
-        center = lo + cell_size * 0.5
-        extents = np.broadcast_to(cell_size * 0.5, center.shape)
+        # getCellBbox (src/linalg.zig:433-441) then center/extents
+        # (src/linalg.zig:316-322) — float op order matters for boundary
+        # cells, so follow the reference formula exactly.
+        lo = (bbox_min + cell * cell_size).astype(np.float32)
+        hi = (lo + cell_size).astype(np.float32)
+        center = (lo + hi) * np.float32(0.5)
+        extents = (hi - lo) * np.float32(0.5)
         keep_chunks.append(sat_triangle_aabb(positions[ids], center, extents))
     keep = (
         np.concatenate(keep_chunks) if keep_chunks else np.zeros(0, dtype=bool)

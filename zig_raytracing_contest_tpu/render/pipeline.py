@@ -56,7 +56,14 @@ def prepare_scene(in_path: str, config: Config, camera_name=None, width=None, he
         geometry = load_geometry(gltf)
 
     with timers.phase("compile", "Compiled"):
-        grid = build_grid(geometry.positions, config.grid_resolution, log=log.info)
+        try:
+            from ..grid.native import build_grid_native
+
+            grid = build_grid_native(
+                geometry.positions, config.grid_resolution, log_fn=log.info
+            )
+        except Exception:  # no C++ toolchain → NumPy reference builder
+            grid = build_grid(geometry.positions, config.grid_resolution, log=log.info)
         scene = build_device_scene(geometry, grid, materials, backend=config.backend)
         if scene.mxu is not None:
             log.info("Intersection backend: MXU brute force")
