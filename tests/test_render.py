@@ -125,11 +125,13 @@ def test_pallas_kernel_matches_xla_tiles(box, box_mxu):
     dirs = np.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
     o, d = jnp.asarray(orig), jnp.asarray(dirs)
     act = jnp.ones(len(orig), bool)
-    tx, ix = nearest_hit_xla(scene_mxu.mxu, o, d, act)
-    tp, ip = nearest_hit_pallas(scene_mxu.mxu, o, d, act, interpret=True)
+    tx, ix, ux, vx = nearest_hit_xla(scene_mxu.mxu, o, d, act)
+    tp, ip, up, vp = nearest_hit_pallas(scene_mxu.mxu, o, d, act, interpret=True)
     np.testing.assert_allclose(np.asarray(tx), np.asarray(tp), atol=1e-5)
     hit = np.isfinite(np.asarray(tx))
     np.testing.assert_array_equal(np.asarray(ix)[hit], np.asarray(ip)[hit])
+    np.testing.assert_allclose(np.asarray(ux)[hit], np.asarray(up)[hit], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vx)[hit], np.asarray(vp)[hit], atol=1e-5)
 
 
 def test_inactive_rays_report_miss(box):

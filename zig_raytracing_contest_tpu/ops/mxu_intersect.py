@@ -198,28 +198,38 @@ def nearest_hit_xla(tris: MXUTriangles, orig, direction, active, tile: int = TRI
     dx, dy, dz = (direction[:, i : i + 1] for i in range(3))
 
     def body(carry, tile_idx):
-        best_t, best_i = carry
+        best_t, best_i, best_u, best_v = carry
         s = tile_idx * tile
         rows = jax.lax.dynamic_slice(tris.tri_data, (0, s), (_ROWS, tile))
-        t, _, _, ok = _intersect_tile(ox, oy, oz, dx, dy, dz, rows)
+        t, u, v, ok = _intersect_tile(ox, oy, oz, dx, dy, dz, rows)
         t = jnp.where(ok, t, INF)
         tile_min = jnp.min(t, axis=1)
         ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         cand = jnp.min(jnp.where(t <= tile_min[:, None], ids, Tp), axis=1)
+        sel = ids == cand[:, None]
+        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
         better = tile_min < best_t
         best_t = jnp.where(better, tile_min, best_t)
         best_i = jnp.where(better, s + cand, best_i)
-        return (best_t, best_i), None
+        best_u = jnp.where(better, u_sel, best_u)
+        best_v = jnp.where(better, v_sel, best_v)
+        return (best_t, best_i, best_u, best_v), None
 
-    init = (jnp.full((R,), INF, jnp.float32), jnp.zeros((R,), jnp.int32))
-    (best_t, best_i), _ = jax.lax.scan(
+    init = (
+        jnp.full((R,), INF, jnp.float32),
+        jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+    )
+    (best_t, best_i, best_u, best_v), _ = jax.lax.scan(
         body, init, jnp.arange(num_tiles, dtype=jnp.int32)
     )
     best_t = jnp.where(active, best_t, INF)
-    return best_t, best_i
+    return best_t, best_i, best_u, best_v
 
 
-def _pallas_kernel(o_ref, d_ref, act_ref, tri_ref, bbox_ref, t_ref, i_ref):
+def _pallas_kernel(o_ref, d_ref, act_ref, tri_ref, bbox_ref, t_ref, i_ref, u_ref, v_ref):
     """One ray block vs. all triangle tiles, everything VMEM-resident.
 
     o/d: (Rb, 3) ray block; act: (Rb, 1) f32 alive mask;
@@ -233,6 +243,8 @@ def _pallas_kernel(o_ref, d_ref, act_ref, tri_ref, bbox_ref, t_ref, i_ref):
 
     t_ref[:, 0] = jnp.full((RAY_BLOCK,), INF, jnp.float32)
     i_ref[:, 0] = jnp.zeros((RAY_BLOCK,), jnp.int32)
+    u_ref[:, 0] = jnp.zeros((RAY_BLOCK,), jnp.float32)
+    v_ref[:, 0] = jnp.zeros((RAY_BLOCK,), jnp.float32)
 
     ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]
     dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
@@ -269,15 +281,22 @@ def _pallas_kernel(o_ref, d_ref, act_ref, tri_ref, bbox_ref, t_ref, i_ref):
         def _():
             s = pl.multiple_of(jt * TRI_TILE, TRI_TILE)
             rows = tri_ref[:, pl.ds(s, TRI_TILE)]
-            t, _, _, ok = _intersect_tile(ox, oy, oz, dx, dy, dz, rows)
+            t, u, v, ok = _intersect_tile(ox, oy, oz, dx, dy, dz, rows)
             t = jnp.where(ok, t, INF)
             tile_min = jnp.min(t, axis=1)
             ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
             cand = jnp.min(jnp.where(t <= tile_min[:, None], ids, Tp), axis=1)
+            # Winner u,v via masked lane reductions — no per-row gather on
+            # TPU.  `sel` one-hots the winning lane of each row.
+            sel = ids == cand[:, None]
+            u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+            v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
             best_t = t_ref[:, 0]
             better = tile_min < best_t
             t_ref[:, 0] = jnp.where(better, tile_min, best_t)
             i_ref[:, 0] = jnp.where(better, s + cand, i_ref[:, 0])
+            u_ref[:, 0] = jnp.where(better, u_sel, u_ref[:, 0])
+            v_ref[:, 0] = jnp.where(better, v_sel, v_ref[:, 0])
 
         return 0
 
@@ -297,7 +316,7 @@ def nearest_hit_pallas(tris: MXUTriangles, orig, direction, active, interpret=Fa
     nb = R // RAY_BLOCK
     act = active.astype(jnp.float32)[:, None]
 
-    t, idx = pl.pallas_call(
+    t, idx, u, v = pl.pallas_call(
         _pallas_kernel,
         grid=(nb,),
         in_specs=[
@@ -312,25 +331,26 @@ def nearest_hit_pallas(tris: MXUTriangles, orig, direction, active, interpret=Fa
             ),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
         ],
         interpret=interpret,
     )(orig, direction, act, tris.tri_data, tris.tile_bbox)
-    return t[:, 0], idx[:, 0]
+    return t[:, 0], idx[:, 0], u[:, 0], v[:, 0]
 
 
 def nearest_hit_mxu(tris: MXUTriangles, orig, direction, active):
-    """Dispatch + winner uv recompute.  Returns (t, u, v, unique_tri_idx)."""
+    """Dispatch.  Returns (t, u, v, unique_tri_idx); winner u,v come out of
+    the kernels directly (masked lane reductions — no per-ray gather)."""
     if jax.default_backend() == "tpu":
-        t, idx_m = nearest_hit_pallas(tris, orig, direction, active)
+        t, idx_m, u, v = nearest_hit_pallas(tris, orig, direction, active)
     else:
-        t, idx_m = nearest_hit_xla(tris, orig, direction, active)
-    _, u, v = recompute_uv(tris, orig, direction, idx_m)
+        t, idx_m, u, v = nearest_hit_xla(tris, orig, direction, active)
     hit = jnp.isfinite(t)
     u = jnp.where(hit, u, 0.0)
     v = jnp.where(hit, v, 0.0)

@@ -39,9 +39,14 @@ def ray_streams(seed, global_ray_ids):
     return _mix(gid ^ (s * jnp.uint32(0x9E3779B9)) ^ jnp.uint32(0x85EBCA6B))
 
 
-def _bits(streams, tag: int, word: int):
-    """One 32-bit word of the (stream, tag) draw sequence."""
-    t = jnp.uint32((tag * 2 + 1) & 0xFFFFFFFF)
+def _bits(streams, tag, word: int):
+    """One 32-bit word of the (stream, tag) draw sequence.
+
+    ``tag`` may be a Python int or a traced int (e.g. a lax.scan bounce
+    index) — the stream constants are mixed with uint32 wraparound either
+    way.
+    """
+    t = (jnp.asarray(tag).astype(jnp.uint32) * 2 + 1)
     w = jnp.uint32((word * 0x9E3779B9 + 0x6A09E667) & 0xFFFFFFFF)
     return _mix(streams ^ (t * jnp.uint32(0xB5297A4D)) ^ w)
 
@@ -56,15 +61,21 @@ def uniform(streams, tag: int):
     return _u01(_bits(streams, tag, 0))
 
 
-def uniform2(streams, tag: int):
-    """(R, 2) uniforms — pixel jitter (src/stage3.zig:238)."""
-    return jnp.stack([_u01(_bits(streams, tag, 0)), _u01(_bits(streams, tag, 1))], -1)
+def uniform2_soa(streams, tag):
+    """Two (R,) uniforms — pixel jitter (src/stage3.zig:238)."""
+    return _u01(_bits(streams, tag, 0)), _u01(_bits(streams, tag, 1))
 
 
-def normal3(streams, tag: int):
-    """(R, 3) standard normals via Box–Muller — Gaussian sphere sampling feed
-    (src/linalg.zig:140-148).  Uses 4 uniform words; the 4th normal is
-    discarded."""
+def uniform2(streams, tag):
+    """(R, 2) variant of uniform2_soa."""
+    a, b = uniform2_soa(streams, tag)
+    return jnp.stack([a, b], -1)
+
+
+def normal3_soa(streams, tag):
+    """Three (R,) standard normals via Box–Muller — Gaussian sphere sampling
+    feed (src/linalg.zig:140-148).  Uses 4 uniform words; the 4th normal is
+    discarded.  SoA output keeps everything in dense (R,) layouts."""
     u1 = _u01(_bits(streams, tag, 0))
     u2 = _u01(_bits(streams, tag, 1))
     u3 = _u01(_bits(streams, tag, 2))
@@ -73,4 +84,10 @@ def normal3(streams, tag: int):
     r2 = jnp.sqrt(-2.0 * jnp.log(u3))
     a1 = _TWO_PI * u2
     a2 = _TWO_PI * u4
-    return jnp.stack([r1 * jnp.cos(a1), r1 * jnp.sin(a1), r2 * jnp.cos(a2)], -1)
+    return r1 * jnp.cos(a1), r1 * jnp.sin(a1), r2 * jnp.cos(a2)
+
+
+def normal3(streams, tag):
+    """(R, 3) variant of normal3_soa (oracle comparisons / tests)."""
+    x, y, z = normal3_soa(streams, tag)
+    return jnp.stack([x, y, z], -1)

@@ -27,14 +27,35 @@ def _frac(v):
     return jnp.abs(v - jnp.trunc(v))
 
 
-def _texel_index(coord_f, lo, hi, size):
-    """floor→int32, clamp to descriptor range, floored mod size."""
-    # Clamp in float first so the int cast can't overflow (the reference's
-    # @intFromFloat would be UB there).
-    coord_f = jnp.clip(coord_f, float(_I32_SAFE_LO), float(_I32_SAFE_HI))
-    ci = coord_f.astype(jnp.int32)
-    ci = jnp.clip(ci, lo, hi)
-    return jnp.mod(ci, size)
+def _texel_pair(u, wf, lo_f, hi_f, is_repeat):
+    """Texel indices (x1, x2) for one axis, all-float math.
+
+    TPU VPUs have no integer divide — ``jnp.mod(int, int)`` expands to a
+    sequence ~250× slower than the surrounding math (measured: 8 ms per op
+    per 0.5M rays).  The reference semantics (src/stage3.zig:112-117):
+
+        x1 = mod(clamp(floor(w·u), lo, hi), w)
+        x2 = mod(clamp(floor(w·u)+1, lo, hi), w)
+
+    Repeat mode (lo/hi at the int32 sentinels, clamp = identity) satisfies
+    ``floor(w·u) mod w == floor(w · (u - floor(u)))`` for integer w, and
+    ``x2 = (x1+1) mod w == x1+1 - w·[x1+1 ≥ w]`` — both pure float VPU ops,
+    exact wherever the reference's own f32 ``floor(w·u)`` is exact.  Clamp
+    mode clamps in float (bounds ≤ 2^24, exactly representable) and the mod
+    is then the identity.
+    """
+    # repeat path
+    fu = u - jnp.floor(u)  # floored frac in [0, 1)
+    rx1 = jnp.minimum(jnp.floor(wf * fu), wf - 1.0)  # guard w*frac rounding to w
+    rx2 = rx1 + 1.0
+    rx2 = jnp.where(rx2 >= wf, rx2 - wf, rx2)
+    # clamp path
+    cu = jnp.floor(wf * jnp.clip(u, -float(_I32_SAFE_HI), float(_I32_SAFE_HI)))
+    cx1 = jnp.clip(cu, lo_f, hi_f)
+    cx2 = jnp.clip(cu + 1.0, lo_f, hi_f)
+    x1 = jnp.where(is_repeat, rx1, cx1)
+    x2 = jnp.where(is_repeat, rx2, cx2)
+    return x1.astype(jnp.int32), x2.astype(jnp.int32)
 
 
 def sample_texture(data, desc_rows, u, v):
@@ -47,23 +68,18 @@ def sample_texture(data, desc_rows, u, v):
     u, v: (R,) f32 texture coordinates.
     Returns (R, C) or (R,) sampled values.
     """
-    desc_i = desc_rows.astype(jnp.int32)
-    offset = desc_i[:, 0]
-    w = desc_i[:, 1]
-    h = desc_i[:, 2]
-    u_min, u_max = desc_i[:, 3], desc_i[:, 4]
-    v_min, v_max = desc_i[:, 5], desc_i[:, 6]
+    desc_f = desc_rows.astype(jnp.float32)
+    offset = desc_rows[:, 0].astype(jnp.int32)
+    w = desc_rows[:, 1].astype(jnp.int32)
+    wf = desc_f[:, 1]
+    hf = desc_f[:, 2]
+    # Repeat mode is encoded as sentinel bounds (negative lower bound);
+    # clamp mode always has a 0 lower bound (src/stage1.zig:381-409).
+    u_repeat = desc_f[:, 3] < 0.0
+    v_repeat = desc_f[:, 5] < 0.0
 
-    wf = w.astype(jnp.float32)
-    hf = h.astype(jnp.float32)
-
-    ui = jnp.floor(wf * u)
-    vi = jnp.floor(hf * v)
-
-    x1 = _texel_index(ui, u_min, u_max, w)
-    y1 = _texel_index(vi, v_min, v_max, h)
-    x2 = _texel_index(ui + 1.0, u_min, u_max, w)
-    y2 = _texel_index(vi + 1.0, v_min, v_max, h)
+    x1, x2 = _texel_pair(u, wf, desc_f[:, 3], desc_f[:, 4], u_repeat)
+    y1, y2 = _texel_pair(v, hf, desc_f[:, 5], desc_f[:, 6], v_repeat)
 
     def pixel(x, y):
         return data[offset + y * w + x]

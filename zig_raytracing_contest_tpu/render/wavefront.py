@@ -1,21 +1,25 @@
 """Wavefront path tracer: the reference's recursive per-pixel loop
 (src/stage3.zig:188-256) re-architected as bounce rounds over a flat ray wave.
 
-Why wavefront: recursion and per-ray control flow don't map to TPU.  Instead,
-every bounce is one vectorized round over (R,) rays carrying radiance /
-throughput / alive accumulators; the unrolled bounce loop reproduces
-``emissive + albedo * recurse(depth-1)`` as ``radiance += throughput *
-emissive; throughput *= albedo`` and the stochastic-alpha pass-through
+Why wavefront: recursion and per-ray control flow don't map to TPU.  Every
+bounce is one vectorized round over (R,) rays carrying radiance / throughput
+/ alive accumulators; the unrolled bounce loop reproduces ``emissive +
+albedo * recurse(depth-1)`` as ``radiance += throughput * emissive;
+throughput *= albedo`` and the stochastic-alpha pass-through
 (src/stage3.zig:207-213: same direction, origin offset by t + FLT_EPSILON,
 consumes a bounce) as a masked direction hold.
 
-The intersection loop (traceRay, src/stage3.zig:152-186) becomes a
-``lax.while_loop`` state machine: each iteration, every unfinished ray tests
-up to TRI_BATCH triangles of its current DDA cell (gather + Möller–Trumbore
-on the VPU) and, when its cell is exhausted, advances one DDA step with the
-reference's early-exit rule ``nearest_t <= t_next_crossing``.  Rays in empty
-cells burn one advance per iteration while others test triangles — the
-lock-step wave hides the divergence the reference never had to think about.
+TPU-shaping decisions, all measured on the v5e chip:
+
+* The production intersector is the MXU/Pallas brute-force backend
+  (ops/mxu_intersect.py); the grid/gather traversal below is the
+  semantically-identical fallback for giant scenes.
+* Per-op fixed cost dominates small ops here, so shading favors FEW, WIDE
+  operations: one fat (R, 32) shade-record gather, (R, 4) texel row
+  gathers, AoS (R, 3) vector math.  (A full SoA/(R,)-scalar rewrite and a
+  lax.scan bounce loop were both tried and measured ~2× slower.)
+* No integer div/mod anywhere hot — TPU VPUs expand them ~250× slower than
+  float math (see ops/texture.py and _exact_divmod_f32).
 """
 
 from __future__ import annotations
@@ -33,9 +37,7 @@ from ..scene.types import DeviceScene
 FLT_EPSILON = float(jnp.finfo(jnp.float32).eps)  # std.math.floatEps(f32)
 INF = jnp.inf
 
-# Triangles tested per ray per while-loop iteration.  Amortizes the DDA
-# advance logic over several MT tests; cells with fewer pending triangles
-# mask the excess lanes.
+# Triangles tested per ray per while-loop iteration in the grid fallback.
 TRI_BATCH = 4
 
 
@@ -135,11 +137,24 @@ def _interpolate(per_vertex, u, v):
     return per_vertex[:, 0] * w0 + per_vertex[:, 1] * u[:, None] + per_vertex[:, 2] * v[:, None]
 
 
-def shade_and_scatter(scene: DeviceScene, orig, direction, t, u, v, tri, keys, bounce: int):
+def _exact_divmod_f32(g, d: int):
+    """(g // d, g % d) for 0 <= g < 2^23 via exact f32 math — no int div.
+
+    f32 represents every int < 2^24; a reciprocal-multiply can be off by one
+    at boundaries, fixed with compares.  (TPU int div is ~250× slower.)
+    """
+    gf = g.astype(jnp.float32)
+    q = jnp.floor(gf * jnp.float32(1.0 / d))
+    q = jnp.where(q * d > gf, q - 1.0, q)
+    q = jnp.where((q + 1.0) * d <= gf, q + 1.0, q)
+    return q, gf - q * d
+
+
+def shade_and_scatter(scene: DeviceScene, orig, direction, t, u, v, tri, streams, bounce: int):
     """One shading round: texture fetch, alpha test, diffuse scatter.
 
     ``tri`` indexes the unique triangle attribute arrays.  Returns
-    (new_orig, new_dir, emissive_term, albedo_term, pass_through, missed) —
+    (new_orig, new_dir, emissive_term, albedo_term, opacity_pass, missed) —
     all gated downstream by the caller's alive mask.
     Reference: traceRayRecursive body (src/stage3.zig:188-220).
     """
@@ -163,12 +178,12 @@ def shade_and_scatter(scene: DeviceScene, orig, direction, t, u, v, tri, keys, b
 
     # Stochastic alpha: rand > opacity → continue straight through
     # (src/stage3.zig:207-213).  Both branches consume a bounce.
-    rnd = rng.uniform(keys, 2 * bounce + 1)
+    rnd = rng.uniform(streams, 2 * bounce + 1)
     pass_through = rnd > opacity
 
     # Diffuse bounce: dir = normalize(normal + randomUnitVector)
     # (src/stage3.zig:214-217; Gaussian sphere sampling src/linalg.zig:140-148).
-    gauss = rng.normal3(keys, 2 * bounce + 2)
+    gauss = rng.normal3(streams, 2 * bounce + 2)
     scattered = linalg.normalize(normal + linalg.normalize(gauss))
 
     new_orig = linalg.ray_at(orig, direction, t + FLT_EPSILON)
@@ -197,30 +212,38 @@ def render_wave(
     Returns (pixel_ids (R,), radiance (R, 3), segments (R,) int32) where
     segments counts traced path segments for the Mrays/s metric.
     """
-    g = g_start + jnp.arange(wave_size, dtype=jnp.int32)
-    pixel = g // spp
-    keys = rng.ray_streams(base_key, g)
+    R = wave_size
+    local = jnp.arange(R, dtype=jnp.int32)
+    g = g_start + local
+    streams = rng.ray_streams(base_key, g)
 
-    x = (pixel % width).astype(jnp.float32)
-    y = (pixel // width).astype(jnp.float32)
-    jitter = rng.uniform2(keys, 0)
+    # pixel/x/y without integer div: wave-local ids are < 2^23; the global
+    # pixel id is pix_base + local_pixel in int32; the x/y split runs on the
+    # full pixel id in f32 (exact for images up to ~8M pixels).
+    pix_base_f, _ = _exact_divmod_f32(g_start, spp)  # g_start % spp == 0
+    lp_f, _ = _exact_divmod_f32(local, spp)
+    pixel = pix_base_f.astype(jnp.int32) + lp_f.astype(jnp.int32)
+    _, x = _exact_divmod_f32(pixel, width)
+    y, _ = _exact_divmod_f32(pixel, width)
+
+    jx, jy = rng.uniform2_soa(streams, 0)
 
     # Camera.getRay (src/stage3.zig:27-35)
-    sx = (x + jitter[:, 0])[:, None]
-    sy = (y + jitter[:, 1])[:, None]
+    sx = (x + jx)[:, None]
+    sy = (y + jy)[:, None]
     direction = linalg.normalize(cam_lower_left + cam_right * sx + cam_up * sy)
     orig = jnp.broadcast_to(cam_origin, direction.shape)
 
     radiance = jnp.zeros_like(direction)
     throughput = jnp.ones_like(direction)
-    alive = jnp.ones(wave_size, dtype=bool)
-    segments = jnp.zeros(wave_size, dtype=jnp.int32)
+    alive = jnp.ones(R, dtype=bool)
+    segments = jnp.zeros(R, dtype=jnp.int32)
 
     for bounce in range(max_bounce):
         segments = segments + alive.astype(jnp.int32)
         t, u, v, tri = trace_any(scene, orig, direction, alive)
         new_orig, new_dir, emissive, albedo, pass_through, missed = shade_and_scatter(
-            scene, orig, direction, t, u, v, tri, keys, bounce
+            scene, orig, direction, t, u, v, tri, streams, bounce
         )
 
         add_env = alive & missed

@@ -52,9 +52,12 @@ class DeviceScene(NamedTuple):
     tri_e1: jnp.ndarray  # (D, 3) f32
     tri_e2: jnp.ndarray  # (D, 3) f32
     dup_to_tri: jnp.ndarray  # (D,) int32
-    # Unique-triangle shading records + unified RGBA texture bank:
+    # Unique-triangle shading records + unified RGBA texture bank.
+    # Row layout (P, 4): texel fetches are (R, 4) row gathers — on v5e,
+    # gather ops have high fixed cost, so fewer wide gathers beat many
+    # dense (R,) ones (measured both ways).
     shade_table: jnp.ndarray  # (T, 32) f32
-    color_data: jnp.ndarray  # (P, 4) f32 (A channel = opacity semantics)
+    color_data: jnp.ndarray  # (P, 4) f32 (channel 3 = opacity semantics)
     # MXU brute-force backend (None → grid/gather traversal is used):
     mxu: MXUTriangles | None = None
 
