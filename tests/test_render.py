@@ -113,6 +113,7 @@ def test_pallas_kernel_matches_xla_tiles(box, box_mxu):
     """The Pallas VMEM kernel (interpret mode on CPU) must agree with the
     portable XLA tile scan on (t, winning index)."""
     from zig_raytracing_contest_tpu.ops.mxu_intersect import (
+        RAY_BLOCK,
         nearest_hit_pallas,
         nearest_hit_xla,
     )
@@ -120,7 +121,7 @@ def test_pallas_kernel_matches_xla_tiles(box, box_mxu):
     _, _, cam, _, _, _ = box
     _, scene_mxu = box_mxu
     orig, dirs = primary_rays(cam, W, H)
-    pad = -len(orig) % 256
+    pad = -len(orig) % RAY_BLOCK
     orig = np.pad(orig, ((0, pad), (0, 0)), constant_values=1.0)
     dirs = np.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
     o, d = jnp.asarray(orig), jnp.asarray(dirs)

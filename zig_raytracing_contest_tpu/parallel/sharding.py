@@ -146,7 +146,8 @@ def render_scene_sharded(
     rays_per_dev = pix_per_dev * spp
     # Wave quantum: spp (whole pixels → scatter-free accumulation) × 256
     # (Pallas ray blocks).
-    quantum = spp * 256
+    from ..ops.mxu_intersect import RAY_BLOCK
+    quantum = spp * RAY_BLOCK
     wave_size = max(
         quantum,
         min(config.wave_size, rays_per_dev + quantum - 1) // quantum * quantum,

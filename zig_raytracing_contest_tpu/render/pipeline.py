@@ -86,7 +86,8 @@ def render_scene(
     # Waves are quantized to spp*256 rays: multiples of spp so every wave
     # covers whole pixels (scatter-free accumulation) and of 256 for the
     # Pallas ray blocks.  Padding rays of the final wave are masked.
-    quantum = spp * 256
+    from ..ops.mxu_intersect import RAY_BLOCK
+    quantum = spp * RAY_BLOCK
     wave_size = max(
         quantum, min(config.wave_size, total_rays + quantum - 1) // quantum * quantum
     )
