@@ -1,0 +1,138 @@
+"""Fused Pallas shading (interpret mode) vs the XLA shading path.
+
+shade_fused must produce the same radiance/throughput/ray updates as
+wavefront.shade_and_scatter + the caller's mask arithmetic — same RNG
+streams, same texture semantics, same masks — up to f32 reassociation in
+the sky/emissive blends.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zig_raytracing_contest_tpu.config import Config  # noqa: F401
+from zig_raytracing_contest_tpu.grid.builder import build_grid
+from zig_raytracing_contest_tpu.ops import linalg, rng
+from zig_raytracing_contest_tpu.render.fused import shade_fused
+from zig_raytracing_contest_tpu.render.wavefront import (
+    shade_and_scatter,
+    trace_any,
+)
+from zig_raytracing_contest_tpu.scene import procedural
+from zig_raytracing_contest_tpu.scene.camera import load_camera
+from zig_raytracing_contest_tpu.scene.geometry import load_geometry
+from zig_raytracing_contest_tpu.scene.gltf import load_gltf
+from zig_raytracing_contest_tpu.scene.materials import load_materials
+from zig_raytracing_contest_tpu.scene.types import build_device_scene
+
+R = 1024  # one Pallas ray block… RAY_BLOCK=256 → 4 blocks
+
+
+@pytest.fixture(scope="module")
+def scene_and_rays(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scenes")
+    # Cornell box + a transparent quad so the alpha path is exercised.
+    b = procedural.SceneBuilder()
+    white = b.add_material(base_color_factor=(0.7, 0.7, 0.7, 1))
+    light = b.add_material(base_color_factor=(0, 0, 0, 1), emissive_factor=(4, 4, 4))
+    img_t = b.add_image_png(np.asarray([[[255, 255, 255, 100]]], np.uint8))
+    glass = b.add_material(
+        base_color_texture=b.add_texture(img_t), alpha_mode="BLEND"
+    )
+    s = 1.0
+    for center, uax, vax, mat in [
+        ((0, -s, 0), (s, 0, 0), (0, 0, -s), white),
+        ((0, s, 0), (s, 0, 0), (0, 0, s), light),
+        ((0, 0, -s), (s, 0, 0), (0, s, 0), white),
+        ((0, 0, 0.2), (0.6, 0, 0), (0, 0.6, 0), glass),
+    ]:
+        p, i, n, t = procedural.quad(center, uax, vax)
+        b.add_mesh_node(p, i, mat, normals=n, texcoords=t)
+    b.add_camera_node((0, 0, 3), (0, 0, 0), yfov=0.8, name="c")
+    gltf = load_gltf(b.write_gltf(d / "f.gltf"))
+    cam = load_camera(gltf, width=32, height=32)
+    geo = load_geometry(gltf)
+    scene = build_device_scene(
+        geo, build_grid(geo.positions, (4, 4, 4)), load_materials(gltf), backend="mxu"
+    )
+
+    xs = (np.arange(R) % 32 + 0.37).astype(np.float32)
+    ys = (np.arange(R) // 32 + 0.61).astype(np.float32)
+    dirs = (
+        cam.lower_left_corner
+        + cam.right * xs[:, None]
+        + cam.up * ys[:, None]
+    )
+    dirs = (dirs / np.linalg.norm(dirs, axis=1, keepdims=True)).astype(np.float32)
+    orig = np.tile(cam.origin, (R, 1)).astype(np.float32)
+    return scene, jnp.asarray(orig), jnp.asarray(dirs)
+
+
+def test_fused_matches_xla_shading(scene_and_rays):
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(7), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    throughput = jnp.full((R, 3), 0.8, jnp.float32)
+    radiance = jnp.full((R, 3), 0.05, jnp.float32)
+
+    t, u, v, tri = trace_any(scene, orig, direction, alive)
+    assert int(jnp.isfinite(t).sum()) > R // 2  # scene actually hit
+
+    # --- XLA reference composition (mirrors render_wave's loop body)
+    bounce = 1
+    new_orig, new_dir, emissive, albedo, pass_through, missed = shade_and_scatter(
+        scene, orig, direction, t, u, v, tri, streams, bounce
+    )
+    add_env = alive & missed
+    rad_x = radiance + jnp.where(
+        add_env[:, None], throughput * linalg.env_color(direction), 0.0
+    )
+    shaded = alive & ~missed & ~pass_through
+    rad_x = rad_x + jnp.where(shaded[:, None], throughput * emissive, 0.0)
+    tput_x = jnp.where(shaded[:, None], throughput * albedo, throughput)
+    stepped = alive & ~missed
+    orig_x = jnp.where(stepped[:, None], new_orig, orig)
+    dir_x = jnp.where(stepped[:, None], new_dir, direction)
+
+    # --- fused path (interpret mode on CPU); state is field-major (12, R)
+    state = jnp.concatenate(
+        [orig.T, direction.T, throughput.T, radiance.T], axis=0
+    )
+    new_state, alive_f = jax.jit(
+        lambda s, a: shade_fused(
+            scene, s, t, u, v, tri, streams, a, bounce, interpret=True
+        )
+    )(state, alive)
+
+    np.testing.assert_array_equal(np.asarray(alive_f), np.asarray(stepped))
+    np.testing.assert_allclose(
+        np.asarray(new_state[0:3].T), np.asarray(orig_x), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state[3:6].T), np.asarray(dir_x), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state[6:9].T), np.asarray(tput_x), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state[9:12].T), np.asarray(rad_x), atol=1e-5
+    )
+
+
+def test_fused_dead_rays_stay_dead(scene_and_rays):
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(3), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.zeros(R, bool)
+    state = jnp.concatenate(
+        [orig.T, direction.T, jnp.ones((3, R)), jnp.zeros((3, R))], axis=0
+    ).astype(jnp.float32)
+    t, u, v, tri = trace_any(scene, orig, direction, alive)
+    new_state, alive_f = shade_fused(
+        scene, state, t, u, v, tri, streams, alive, 0, interpret=True
+    )
+    assert not bool(alive_f.any())
+    # radiance untouched for dead rays
+    np.testing.assert_array_equal(
+        np.asarray(new_state[9:12]), np.zeros((3, R), np.float32)
+    )

@@ -1,0 +1,302 @@
+"""Fused Pallas shading: one bounce of shading in a handful of device ops.
+
+Profiling (docs/PERFORMANCE.md) showed the XLA shading path fragmenting
+into ~150 small fusions per bounce whose per-op overhead dominated the
+wave.  This module reduces a bounce's shading to:
+
+    prep kernel   →  texel indices + interpolated attrs     (Pallas, VPU)
+    ONE gather    →  all 8 texels of both textures          (XLA)
+    shade kernel  →  bilinear, alpha test, scatter, RNG,
+                     radiance/throughput/alive updates      (Pallas, VPU)
+
+Mosaic has no arbitrary in-kernel gather on v5e (only same-shape
+``dynamic_gather``), so the texel fetch stays in XLA — but batched into a
+single wide ``take`` instead of eight row gathers.
+
+Layout: per-ray data is TRANSPOSED — fields on sublanes, rays on lanes:
+``aux`` (8, R), ``svec`` (8, R), ``state`` (12, R), ``texels`` (32, R).
+Ray-major (R, k<128) blocks pad their lane dimension to 128 inside Mosaic,
+so every field slice materialized ~0.5 MB of vreg spill and the kernels blew
+the 16 MB scoped-VMEM limit; field-major rows are dense lane vectors, the
+VPU's native shape.  Semantics are identical to wavefront.shade_and_scatter
+(the CPU/XLA path); tests/test_fused.py holds them equal in interpret mode.
+
+Row layouts:
+  aux   (8, R) f32: [u, v, t, streams(bitcast u32), alive, 0, 0, 0]
+  svec  (8, R) f32: [nx, ny, nz, fu, fv, tc_u, tc_v, 0]
+  state (12, R) f32: [ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb]
+  tex_idx (8, R) i32: base [p11, p21, p12, p22], emissive [p11, p21, p12, p22]
+  texels  (32, R) f32: row = 4*texel + channel
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import COL_BASE_DESC, COL_EMIS_DESC, COL_NRM, COL_UV, DeviceScene
+
+# Rays per grid step (lane dimension).  Large to amortize the ~10 µs
+# per-grid-step overhead; a (32, SHADE_BLOCK) f32 block is 2 MB.
+SHADE_BLOCK = 8192
+FLT_EPSILON = float(jnp.finfo(jnp.float32).eps)
+_TWO_PI = 6.283185307179586
+
+
+def _mix(x):
+    """lowbias32 finalizer — must match ops/rng.py exactly."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _bits(streams, tag: int, word: int):
+    t = jnp.uint32((tag * 2 + 1) & 0xFFFFFFFF)
+    w = jnp.uint32((word * 0x9E3779B9 + 0x6A09E667) & 0xFFFFFFFF)
+    return _mix(streams ^ (t * jnp.uint32(0xB5297A4D)) ^ w)
+
+
+def _u01(bits):
+    # Mosaic has no uint32→f32 cast; the 24-bit value is int32-safe.
+    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32) + 0.5) * jnp.float32(
+        1.0 / (1 << 24)
+    )
+
+
+def _texel_pair(c, size_f, lo_f, hi_f, is_repeat):
+    """Float-math texel indices — identical to ops/texture.py."""
+    fc = c - jnp.floor(c)
+    r1 = jnp.minimum(jnp.floor(size_f * fc), size_f - 1.0)
+    r2 = r1 + 1.0
+    r2 = jnp.where(r2 >= size_f, r2 - size_f, r2)
+    cc = jnp.floor(size_f * jnp.clip(c, -8.0e9, 8.0e9))
+    c1 = jnp.clip(cc, lo_f, hi_f)
+    c2 = jnp.clip(cc + 1.0, lo_f, hi_f)
+    return jnp.where(is_repeat, r1, c1), jnp.where(is_repeat, r2, c2)
+
+
+def _prep_kernel(rec_ref, aux_ref, idx_ref, svec_ref):
+    u = aux_ref[0, :]
+    v = aux_ref[1, :]
+    w0 = 1.0 - u - v
+    rec = lambda k: rec_ref[k, :]
+
+    tc_u = rec(COL_UV + 0) * w0 + rec(COL_UV + 2) * u + rec(COL_UV + 4) * v
+    tc_v = rec(COL_UV + 1) * w0 + rec(COL_UV + 3) * u + rec(COL_UV + 5) * v
+    nx = rec(COL_NRM + 0) * w0 + rec(COL_NRM + 3) * u + rec(COL_NRM + 6) * v
+    ny = rec(COL_NRM + 1) * w0 + rec(COL_NRM + 4) * u + rec(COL_NRM + 7) * v
+    nz = rec(COL_NRM + 2) * w0 + rec(COL_NRM + 5) * u + rec(COL_NRM + 8) * v
+
+    def tex_indices(d, row0):
+        wf = rec(d + 1)
+        hf = rec(d + 2)
+        x1, x2 = _texel_pair(tc_u, wf, rec(d + 3), rec(d + 4), rec(d + 3) < 0)
+        y1, y2 = _texel_pair(tc_v, hf, rec(d + 5), rec(d + 6), rec(d + 5) < 0)
+        off = rec(d).astype(jnp.int32)
+        w_i = wf.astype(jnp.int32)
+        x1i, x2i = x1.astype(jnp.int32), x2.astype(jnp.int32)
+        y1w, y2w = y1.astype(jnp.int32) * w_i, y2.astype(jnp.int32) * w_i
+        idx_ref[row0 + 0, :] = off + y1w + x1i
+        idx_ref[row0 + 1, :] = off + y1w + x2i
+        idx_ref[row0 + 2, :] = off + y2w + x1i
+        idx_ref[row0 + 3, :] = off + y2w + x2i
+
+    tex_indices(COL_BASE_DESC, 0)
+    tex_indices(COL_EMIS_DESC, 4)
+
+    svec_ref[0, :] = nx
+    svec_ref[1, :] = ny
+    svec_ref[2, :] = nz
+    svec_ref[3, :] = jnp.abs(tc_u - jnp.trunc(tc_u))
+    svec_ref[4, :] = jnp.abs(tc_v - jnp.trunc(tc_v))
+    svec_ref[5, :] = tc_u
+    svec_ref[6, :] = tc_v
+    svec_ref[7, :] = jnp.zeros_like(tc_u)
+
+
+def _make_shade_kernel(bounce: int):
+    def _shade_kernel(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref, out_flags_ref):
+        t = aux_ref[2, :]
+        streams = pltpu.bitcast(aux_ref[3:4, :], jnp.uint32)[0, :]
+        alive = aux_ref[4, :] > 0.0
+        missed = ~(t < jnp.inf)
+
+        fu = svec_ref[3, :]
+        fv = svec_ref[4, :]
+
+        def bilinear(c0):
+            """Combine 4 texels of channel offset c0 (base) / c0+16 (emis)."""
+            r1 = tex_ref[c0 + 0, :] * (1.0 - fu) + tex_ref[c0 + 4, :] * fu
+            r2 = tex_ref[c0 + 8, :] * (1.0 - fu) + tex_ref[c0 + 12, :] * fu
+            return r1 * (1.0 - fv) + r2 * fv
+
+        ar = bilinear(0)
+        ag = bilinear(1)
+        ab = bilinear(2)
+        opacity = bilinear(3)
+        er = bilinear(16)
+        eg = bilinear(17)
+        eb = bilinear(18)
+
+        # stochastic alpha + diffuse scatter randomness (matches ops/rng.py)
+        rnd = _u01(_bits(streams, 2 * bounce + 1, 0))
+        pass_through = rnd > opacity
+        g_tag = 2 * bounce + 2
+        u1 = _u01(_bits(streams, g_tag, 0))
+        u2 = _u01(_bits(streams, g_tag, 1))
+        u3 = _u01(_bits(streams, g_tag, 2))
+        u4 = _u01(_bits(streams, g_tag, 3))
+        r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+        r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+        gx = r1 * jnp.cos(_TWO_PI * u2)
+        gy = r1 * jnp.sin(_TWO_PI * u2)
+        gz = r2 * jnp.cos(_TWO_PI * u4)
+        g_inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz)
+        swx = svec_ref[0, :] + gx * g_inv
+        swy = svec_ref[1, :] + gy * g_inv
+        swz = svec_ref[2, :] + gz * g_inv
+        s_inv = jax.lax.rsqrt(swx * swx + swy * swy + swz * swz)
+
+        ox = state_ref[0, :]
+        oy = state_ref[1, :]
+        oz = state_ref[2, :]
+        dx = state_ref[3, :]
+        dy = state_ref[4, :]
+        dz = state_ref[5, :]
+        tr = state_ref[6, :]
+        tg = state_ref[7, :]
+        tb = state_ref[8, :]
+        rr = state_ref[9, :]
+        rg = state_ref[10, :]
+        rb = state_ref[11, :]
+
+        # sky on miss (src/stage3.zig:144-150)
+        sky_t = 0.5 * (dy + 1.0)
+        env_w = jnp.where(alive & missed, 1.0, 0.0)
+        rr = rr + env_w * tr * (1.0 - 0.5 * sky_t)
+        rg = rg + env_w * tg * (1.0 - 0.3 * sky_t)
+        rb = rb + env_w * tb
+
+        shaded = alive & ~missed & ~pass_through
+        sh_w = jnp.where(shaded, 1.0, 0.0)
+        rr = rr + sh_w * tr * er
+        rg = rg + sh_w * tg * eg
+        rb = rb + sh_w * tb * eb
+        tr = jnp.where(shaded, tr * ar, tr)
+        tg = jnp.where(shaded, tg * ag, tg)
+        tb = jnp.where(shaded, tb * ab, tb)
+
+        stepped = alive & ~missed
+        t_step = t + FLT_EPSILON
+        out_state_ref[0, :] = jnp.where(stepped, ox + dx * t_step, ox)
+        out_state_ref[1, :] = jnp.where(stepped, oy + dy * t_step, oy)
+        out_state_ref[2, :] = jnp.where(stepped, oz + dz * t_step, oz)
+        ndx = jnp.where(pass_through, dx, swx * s_inv)
+        ndy = jnp.where(pass_through, dy, swy * s_inv)
+        ndz = jnp.where(pass_through, dz, swz * s_inv)
+        out_state_ref[3, :] = jnp.where(stepped, ndx, dx)
+        out_state_ref[4, :] = jnp.where(stepped, ndy, dy)
+        out_state_ref[5, :] = jnp.where(stepped, ndz, dz)
+        out_state_ref[6, :] = tr
+        out_state_ref[7, :] = tg
+        out_state_ref[8, :] = tb
+        out_state_ref[9, :] = rr
+        out_state_ref[10, :] = rg
+        out_state_ref[11, :] = rb
+        out_flags_ref[0, :] = jnp.where(stepped, 1.0, 0.0)  # alive out
+        for k in range(1, 8):
+            out_flags_ref[k, :] = jnp.zeros_like(t)
+
+    return _shade_kernel
+
+
+def _rspec(rows):
+    return pl.BlockSpec((rows, SHADE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+@partial(jax.jit, static_argnames=("bounce", "interpret"))
+def shade_fused(
+    scene: DeviceScene,
+    state,  # (12, R) f32 packed transposed ray state
+    t,
+    u,
+    v,
+    tri,
+    streams,
+    alive,
+    bounce: int,
+    interpret: bool = False,
+):
+    """One fused shading bounce.  Returns (new_state (12, R), alive (R,)).
+
+    Equivalent to wavefront.shade_and_scatter + the caller's mask updates;
+    the XLA path remains as the CPU fallback and the semantic oracle.
+    """
+    R = state.shape[1]
+    Rp = -(-R // SHADE_BLOCK) * SHADE_BLOCK
+
+    def padr(a):
+        if Rp == R:
+            return a
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, Rp - R),))
+
+    nb = Rp // SHADE_BLOCK
+
+    rec = padr(scene.shade_table[tri].T)  # (32, R) gather + transpose (XLA)
+    aux = padr(
+        jnp.stack(
+            [
+                u,
+                v,
+                t,
+                jax.lax.bitcast_convert_type(streams, jnp.float32),
+                alive.astype(jnp.float32),
+                jnp.zeros_like(t),
+                jnp.zeros_like(t),
+                jnp.zeros_like(t),
+            ],
+            axis=0,
+        )
+    )
+
+    tex_idx, svec = pl.pallas_call(
+        _prep_kernel,
+        grid=(nb,),
+        in_specs=[_rspec(32), _rspec(8)],
+        out_specs=[_rspec(8), _rspec(8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rec, aux)
+
+    # ONE wide texel gather: (8, Rp) indices → (8, Rp, 4) RGBA texels →
+    # (32, Rp) with row = 4*texel + channel.  Padding rows hit texel 0 —
+    # harmless, masked by alive=0.
+    texels = (
+        jnp.take(scene.color_data, tex_idx, axis=0)
+        .transpose(0, 2, 1)
+        .reshape(32, Rp)
+    )
+
+    new_state, flags = pl.pallas_call(
+        _make_shade_kernel(bounce),
+        grid=(nb,),
+        in_specs=[_rspec(8), _rspec(8), _rspec(32), _rspec(12)],
+        out_specs=[_rspec(12), _rspec(8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((12, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(aux, svec, texels, padr(state))
+
+    return new_state[:, :R], flags[0, :R] > 0.0

@@ -234,10 +234,30 @@ def render_wave(
     direction = linalg.normalize(cam_lower_left + cam_right * sx + cam_up * sy)
     orig = jnp.broadcast_to(cam_origin, direction.shape)
 
-    radiance = jnp.zeros_like(direction)
-    throughput = jnp.ones_like(direction)
     alive = jnp.ones(R, dtype=bool)
     segments = jnp.zeros(R, dtype=jnp.int32)
+
+    use_fused = scene.mxu is not None and jax.default_backend() == "tpu"
+    if use_fused:
+        # Fused Pallas shading (render/fused.py): state packed field-major
+        # (12, R), 3 device ops per shading round instead of ~150 fusions.
+        from .fused import shade_fused
+
+        state = jnp.concatenate(
+            [orig.T, direction.T, jnp.ones((3, R), jnp.float32),
+             jnp.zeros((3, R), jnp.float32)],
+            axis=0,
+        )
+        for bounce in range(max_bounce):
+            segments = segments + alive.astype(jnp.int32)
+            t, u, v, tri = trace_any(scene, state[0:3].T, state[3:6].T, alive)
+            state, alive = shade_fused(
+                scene, state, t, u, v, tri, streams, alive, bounce
+            )
+        return pixel, state[9:12].T, segments
+
+    radiance = jnp.zeros_like(direction)
+    throughput = jnp.ones_like(direction)
 
     for bounce in range(max_bounce):
         segments = segments + alive.astype(jnp.int32)
