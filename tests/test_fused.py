@@ -1,9 +1,9 @@
-"""Fused Pallas shading (interpret mode) vs the XLA shading path.
+"""Fused Pallas pipeline (interpret mode) vs the XLA shading path.
 
-shade_fused must produce the same radiance/throughput/ray updates as
-wavefront.shade_and_scatter + the caller's mask arithmetic — same RNG
-streams, same texture semantics, same masks — up to f32 reassociation in
-the sky/emissive blends.
+trace_emit_aux + shade_fused must produce the same radiance/throughput/ray
+updates as trace_any + wavefront.shade_and_scatter + the caller's mask
+arithmetic — same RNG streams, same texture semantics, same masks — up to
+f32 reassociation in the sky/emissive blends.
 """
 
 import jax
@@ -11,9 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from zig_raytracing_contest_tpu.config import Config  # noqa: F401
 from zig_raytracing_contest_tpu.grid.builder import build_grid
 from zig_raytracing_contest_tpu.ops import linalg, rng
+from zig_raytracing_contest_tpu.ops.mxu_intersect import trace_emit_aux
 from zig_raytracing_contest_tpu.render.fused import shade_fused
 from zig_raytracing_contest_tpu.render.wavefront import (
     shade_and_scatter,
@@ -26,7 +26,7 @@ from zig_raytracing_contest_tpu.scene.gltf import load_gltf
 from zig_raytracing_contest_tpu.scene.materials import load_materials
 from zig_raytracing_contest_tpu.scene.types import build_device_scene
 
-R = 1024  # one Pallas ray block… RAY_BLOCK=256 → 4 blocks
+R = 1024
 
 
 @pytest.fixture(scope="module")
@@ -69,6 +69,44 @@ def scene_and_rays(tmp_path_factory):
     return scene, jnp.asarray(orig), jnp.asarray(dirs)
 
 
+def make_state16(orig, direction, throughput, radiance, alive, streams):
+    return jnp.concatenate(
+        [
+            orig.T,
+            direction.T,
+            throughput.T,
+            radiance.T,
+            alive.astype(jnp.float32)[None],
+            jax.lax.bitcast_convert_type(streams, jnp.float32)[None],
+            jnp.zeros((2, orig.shape[0]), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def test_trace_emit_aux_matches_trace_any(scene_and_rays):
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(7), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    aux, tri_f = trace_emit_aux(scene.mxu, state, interpret=True)
+    t, u, v, tri = trace_any(scene, orig, direction, alive)
+
+    np.testing.assert_allclose(np.asarray(aux[2]), np.asarray(t), atol=1e-5)
+    hit = np.isfinite(np.asarray(t))
+    np.testing.assert_array_equal(np.asarray(tri_f)[hit], np.asarray(tri)[hit])
+    np.testing.assert_allclose(np.asarray(aux[0])[hit], np.asarray(u)[hit], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux[1])[hit], np.asarray(v)[hit], atol=1e-5)
+    # streams/alive pass-through rows
+    np.testing.assert_array_equal(
+        np.asarray(jax.lax.bitcast_convert_type(aux[3], jnp.uint32)),
+        np.asarray(streams),
+    )
+    np.testing.assert_array_equal(np.asarray(aux[4] > 0), np.asarray(alive))
+
+
 def test_fused_matches_xla_shading(scene_and_rays):
     scene, orig, direction = scene_and_rays
     streams = rng.ray_streams(jnp.uint32(7), jnp.arange(R, dtype=jnp.int32))
@@ -95,17 +133,28 @@ def test_fused_matches_xla_shading(scene_and_rays):
     orig_x = jnp.where(stepped[:, None], new_orig, orig)
     dir_x = jnp.where(stepped[:, None], new_dir, direction)
 
-    # --- fused path (interpret mode on CPU); state is field-major (12, R)
-    state = jnp.concatenate(
-        [orig.T, direction.T, throughput.T, radiance.T], axis=0
+    # --- fused path (interpret mode on CPU)
+    state = make_state16(orig, direction, throughput, radiance, alive, streams)
+    aux = jnp.stack(
+        [
+            u,
+            v,
+            t,
+            jax.lax.bitcast_convert_type(streams, jnp.float32),
+            alive.astype(jnp.float32),
+            jnp.zeros_like(t),
+            jnp.zeros_like(t),
+            jnp.zeros_like(t),
+        ],
+        axis=0,
     )
-    new_state, alive_f = jax.jit(
-        lambda s, a: shade_fused(
-            scene, s, t, u, v, tri, streams, a, bounce, interpret=True
-        )
-    )(state, alive)
+    new_state = jax.jit(
+        lambda s, a: shade_fused(scene, s, a, tri, bounce, interpret=True)
+    )(state, aux)
 
-    np.testing.assert_array_equal(np.asarray(alive_f), np.asarray(stepped))
+    np.testing.assert_array_equal(
+        np.asarray(new_state[12] > 0), np.asarray(stepped)
+    )
     np.testing.assert_allclose(
         np.asarray(new_state[0:3].T), np.asarray(orig_x), atol=1e-5
     )
@@ -118,21 +167,23 @@ def test_fused_matches_xla_shading(scene_and_rays):
     np.testing.assert_allclose(
         np.asarray(new_state[9:12].T), np.asarray(rad_x), atol=1e-5
     )
+    # segment counter: every alive-in ray traced one segment
+    np.testing.assert_array_equal(
+        np.asarray(new_state[14]), np.ones(R, np.float32)
+    )
 
 
 def test_fused_dead_rays_stay_dead(scene_and_rays):
     scene, orig, direction = scene_and_rays
     streams = rng.ray_streams(jnp.uint32(3), jnp.arange(R, dtype=jnp.int32))
     alive = jnp.zeros(R, bool)
-    state = jnp.concatenate(
-        [orig.T, direction.T, jnp.ones((3, R)), jnp.zeros((3, R))], axis=0
-    ).astype(jnp.float32)
-    t, u, v, tri = trace_any(scene, orig, direction, alive)
-    new_state, alive_f = shade_fused(
-        scene, state, t, u, v, tri, streams, alive, 0, interpret=True
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
     )
-    assert not bool(alive_f.any())
-    # radiance untouched for dead rays
+    aux, tri = trace_emit_aux(scene.mxu, state, interpret=True)
+    new_state = shade_fused(scene, state, aux, tri, 0, interpret=True)
+    assert not bool((new_state[12] > 0).any())
     np.testing.assert_array_equal(
         np.asarray(new_state[9:12]), np.zeros((3, R), np.float32)
     )
+    np.testing.assert_array_equal(np.asarray(new_state[14]), np.zeros(R, np.float32))

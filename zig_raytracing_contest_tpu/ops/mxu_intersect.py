@@ -48,8 +48,8 @@ import numpy as np
 MT_EPSILON = 1e-8
 INF = jnp.inf
 
-RAY_BLOCK = 256  # rays per Pallas program instance
-TRI_TILE = 512  # triangles per inner tile (lane-aligned)
+RAY_BLOCK = 256  # rays per Pallas program instance (ray-major kernel)
+TRI_TILE = 256  # triangles per inner tile / bbox granularity (lane-aligned)
 
 # tri_data row layout: 9 rows of M (row-major), 3 rows of c, 1 row of |n|².
 _ROWS = 13
@@ -361,3 +361,144 @@ def nearest_hit_mxu(tris: MXUTriangles, orig, direction, active):
     v = jnp.where(hit, v, 0.0)
     idx = tris.perm[jnp.clip(idx_m, 0, tris.perm.shape[0] - 1)]
     return t, u, v, jnp.where(hit, idx, 0)
+
+
+# ---------------------------------------------------------------------------
+# Field-major (lanes = rays) trace kernel for the fused pipeline.
+# ---------------------------------------------------------------------------
+# The block-per-256-rays kernel above outputs (R, 1) tensors whose Mosaic/XLA
+# layouts waste 128× their bandwidth and force per-bounce densification.
+# This variant swaps the tile orientation: triangles on sublanes, rays on
+# lanes.  Ray state arrives as rows of one (16, R) matrix and the kernel
+# emits the shading pipeline's aux matrix directly (render/fused.py), so a
+# bounce needs no XLA stacks, slices, or barriers around the kernel.
+#
+# state16 rows: 0-2 orig, 3-5 dir, 6-8 throughput, 9-11 radiance,
+#               12 alive (f32), 13 streams (u32 bitcast), 14 segments, 15 pad.
+
+LANE_BLOCK = 512  # rays per grid step (lanes)
+TRI_TILE_T = 256  # triangles per inner tile (sublanes)
+
+
+def _trace_kernel_t(state_ref, tri_ref, bbox_ref, aux_ref, idx_ref):
+    Tp = tri_ref.shape[1]
+    num_tiles = Tp // TRI_TILE_T
+
+    ox = state_ref[0, :]
+    oy = state_ref[1, :]
+    oz = state_ref[2, :]
+    dx = state_ref[3, :]
+    dy = state_ref[4, :]
+    dz = state_ref[5, :]
+    active = state_ref[12, :] > 0.0
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+
+    aux_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)  # u
+    aux_ref[1, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)  # v
+    aux_ref[2, :] = jnp.full((LANE_BLOCK,), INF, jnp.float32)  # t (running)
+    aux_ref[3, :] = state_ref[13, :]  # streams pass-through
+    aux_ref[4, :] = state_ref[12, :]  # alive pass-through
+    aux_ref[5, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
+    aux_ref[6, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
+    aux_ref[7, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
+    idx_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.int32)
+
+    def tile_body(jt, _):
+        best = aux_ref[2, :]
+        tx1 = (bbox_ref[0, jt] - ox) * inv_dx
+        tx2 = (bbox_ref[3, jt] - ox) * inv_dx
+        ty1 = (bbox_ref[1, jt] - oy) * inv_dy
+        ty2 = (bbox_ref[4, jt] - oy) * inv_dy
+        tz1 = (bbox_ref[2, jt] - oz) * inv_dz
+        tz2 = (bbox_ref[5, jt] - oz) * inv_dz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+            jnp.minimum(tz1, tz2),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+            jnp.maximum(tz1, tz2),
+        )
+        # NaN-robust conservative cull (see _pallas_kernel above).
+        box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
+        box_hit = active & ~box_miss
+
+        @pl.when(jnp.any(box_hit))
+        def _():
+            s = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
+            rows = tri_ref[:, pl.ds(s, TRI_TILE_T)]  # (13, Kt)
+            m = lambda r: rows[r][:, None]  # (Kt, 1) broadcast over lanes
+            oxr, oyr, ozr = ox[None, :], oy[None, :], oz[None, :]
+            dxr, dyr, dzr = dx[None, :], dy[None, :], dz[None, :]
+            ou = oxr * m(0) + oyr * m(1) + ozr * m(2) + m(9)
+            ov = oxr * m(3) + oyr * m(4) + ozr * m(5) + m(10)
+            ow = oxr * m(6) + oyr * m(7) + ozr * m(8) + m(11)
+            du = dxr * m(0) + dyr * m(1) + dzr * m(2)
+            dv = dxr * m(3) + dyr * m(4) + dzr * m(5)
+            dw = dxr * m(6) + dyr * m(7) + dzr * m(8)
+            t = -ow / dw
+            u = ou + t * du
+            v = ov + t * dv
+            det = -dw * m(12)
+            ok = (
+                (det >= MT_EPSILON)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > 0.0)
+            )
+            t = jnp.where(ok, t, INF)
+            tile_min = jnp.min(t, axis=0)  # (LB,)
+            ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            cand = jnp.min(jnp.where(t <= tile_min[None, :], ids, Tp), axis=0)
+            sel = ids == cand[None, :]
+            u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+            v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+            best_t = aux_ref[2, :]
+            better = tile_min < best_t
+            aux_ref[2, :] = jnp.where(better, tile_min, best_t)
+            aux_ref[0, :] = jnp.where(better, u_sel, aux_ref[0, :])
+            aux_ref[1, :] = jnp.where(better, v_sel, aux_ref[1, :])
+            idx_ref[0, :] = jnp.where(better, s + cand, idx_ref[0, :])
+
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
+    """Field-major nearest hit: (16, R) state → (aux (8, R), tri (R,)).
+
+    aux is ready for render/fused.py (u, v, t, streams, alive rows filled);
+    ``tri`` is the unique-triangle id (perm applied) for the record gather.
+    """
+    R = state16.shape[1]
+    assert R % LANE_BLOCK == 0, f"wave {R} not a multiple of {LANE_BLOCK}"
+    nb = R // LANE_BLOCK
+
+    aux, idx_m = pl.pallas_call(
+        _trace_kernel_t,
+        grid=(nb,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+        ],
+    )(state16, tris.tri_data, tris.tile_bbox)
+
+    tri = tris.perm[jnp.clip(idx_m[0], 0, tris.perm.shape[0] - 1)]
+    hit = aux[2] < INF
+    return aux, jnp.where(hit, tri, 0)

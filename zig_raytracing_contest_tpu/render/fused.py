@@ -24,7 +24,8 @@ VPU's native shape.  Semantics are identical to wavefront.shade_and_scatter
 Row layouts:
   aux   (8, R) f32: [u, v, t, streams(bitcast u32), alive, 0, 0, 0]
   svec  (8, R) f32: [nx, ny, nz, fu, fv, tc_u, tc_v, 0]
-  state (12, R) f32: [ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb]
+  state (16, R) f32: [ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                      alive, streams(bitcast), segments, pad]
   tex_idx (8, R) i32: base [p11, p21, p12, p22], emissive [p11, p21, p12, p22]
   texels  (32, R) f32: row = 4*texel + channel
 """
@@ -122,7 +123,7 @@ def _prep_kernel(rec_ref, aux_ref, idx_ref, svec_ref):
 
 
 def _make_shade_kernel(bounce: int):
-    def _shade_kernel(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref, out_flags_ref):
+    def _shade_kernel(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref):
         t = aux_ref[2, :]
         streams = pltpu.bitcast(aux_ref[3:4, :], jnp.uint32)[0, :]
         alive = aux_ref[4, :] > 0.0
@@ -210,9 +211,11 @@ def _make_shade_kernel(bounce: int):
         out_state_ref[9, :] = rr
         out_state_ref[10, :] = rg
         out_state_ref[11, :] = rb
-        out_flags_ref[0, :] = jnp.where(stepped, 1.0, 0.0)  # alive out
-        for k in range(1, 8):
-            out_flags_ref[k, :] = jnp.zeros_like(t)
+        out_state_ref[12, :] = jnp.where(stepped, 1.0, 0.0)  # alive out
+        out_state_ref[13, :] = aux_ref[3, :]  # streams pass-through
+        # segment counter: one traced segment for every ray alive-in
+        out_state_ref[14, :] = state_ref[14, :] + jnp.where(alive, 1.0, 0.0)
+        out_state_ref[15, :] = jnp.zeros_like(t)
 
     return _shade_kernel
 
@@ -224,17 +227,13 @@ def _rspec(rows):
 @partial(jax.jit, static_argnames=("bounce", "interpret"))
 def shade_fused(
     scene: DeviceScene,
-    state,  # (12, R) f32 packed transposed ray state
-    t,
-    u,
-    v,
-    tri,
-    streams,
-    alive,
+    state,  # (16, R) f32 field-major ray state (see ops/mxu_intersect.py)
+    aux,  # (8, R) f32 from trace_emit_aux: [u, v, t, streams, alive, ...]
+    tri,  # (R,) int32 unique-triangle ids
     bounce: int,
     interpret: bool = False,
 ):
-    """One fused shading bounce.  Returns (new_state (12, R), alive (R,)).
+    """One fused shading bounce.  Returns the new (16, R) state.
 
     Equivalent to wavefront.shade_and_scatter + the caller's mask updates;
     the XLA path remains as the CPU fallback and the semantic oracle.
@@ -250,21 +249,7 @@ def shade_fused(
     nb = Rp // SHADE_BLOCK
 
     rec = padr(scene.shade_table[tri].T)  # (32, R) gather + transpose (XLA)
-    aux = padr(
-        jnp.stack(
-            [
-                u,
-                v,
-                t,
-                jax.lax.bitcast_convert_type(streams, jnp.float32),
-                alive.astype(jnp.float32),
-                jnp.zeros_like(t),
-                jnp.zeros_like(t),
-                jnp.zeros_like(t),
-            ],
-            axis=0,
-        )
-    )
+    aux = padr(aux)
 
     tex_idx, svec = pl.pallas_call(
         _prep_kernel,
@@ -287,16 +272,13 @@ def shade_fused(
         .reshape(32, Rp)
     )
 
-    new_state, flags = pl.pallas_call(
+    new_state = pl.pallas_call(
         _make_shade_kernel(bounce),
         grid=(nb,),
-        in_specs=[_rspec(8), _rspec(8), _rspec(32), _rspec(12)],
-        out_specs=[_rspec(12), _rspec(8)],
-        out_shape=[
-            jax.ShapeDtypeStruct((12, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
-        ],
+        in_specs=[_rspec(8), _rspec(8), _rspec(32), _rspec(16)],
+        out_specs=_rspec(16),
+        out_shape=jax.ShapeDtypeStruct((16, Rp), jnp.float32),
         interpret=interpret,
     )(aux, svec, texels, padr(state))
 
-    return new_state[:, :R], flags[0, :R] > 0.0
+    return new_state[:, :R]

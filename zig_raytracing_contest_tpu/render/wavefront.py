@@ -239,22 +239,29 @@ def render_wave(
 
     use_fused = scene.mxu is not None and jax.default_backend() == "tpu"
     if use_fused:
-        # Fused Pallas shading (render/fused.py): state packed field-major
-        # (12, R), 3 device ops per shading round instead of ~150 fusions.
+        # Fully fused bounce (ops/mxu_intersect.trace_emit_aux +
+        # render/fused.shade_fused): ray state is ONE field-major (16, R)
+        # tensor flowing kernel-to-kernel; per bounce only the record and
+        # texel gathers (+ transposes) run in XLA.
         from .fused import shade_fused
+        from ..ops.mxu_intersect import trace_emit_aux
 
         state = jnp.concatenate(
-            [orig.T, direction.T, jnp.ones((3, R), jnp.float32),
-             jnp.zeros((3, R), jnp.float32)],
+            [
+                orig.T,
+                direction.T,
+                jnp.ones((3, R), jnp.float32),  # throughput
+                jnp.zeros((3, R), jnp.float32),  # radiance
+                jnp.ones((1, R), jnp.float32),  # alive
+                jax.lax.bitcast_convert_type(streams, jnp.float32)[None],
+                jnp.zeros((2, R), jnp.float32),  # segments, pad
+            ],
             axis=0,
         )
         for bounce in range(max_bounce):
-            segments = segments + alive.astype(jnp.int32)
-            t, u, v, tri = trace_any(scene, state[0:3].T, state[3:6].T, alive)
-            state, alive = shade_fused(
-                scene, state, t, u, v, tri, streams, alive, bounce
-            )
-        return pixel, state[9:12].T, segments
+            aux, tri = trace_emit_aux(scene.mxu, state)
+            state = shade_fused(scene, state, aux, tri, bounce)
+        return pixel, state[9:12].T, state[14].astype(jnp.int32)
 
     radiance = jnp.zeros_like(direction)
     throughput = jnp.ones_like(direction)
