@@ -91,12 +91,14 @@ def test_trace_emit_aux_matches_trace_any(scene_and_rays):
     state = make_state16(
         orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
     )
-    aux, tri_f = trace_emit_aux(scene.mxu, state, interpret=True)
+    aux, idx_m = trace_emit_aux(scene.mxu, state, interpret=True)
     t, u, v, tri = trace_any(scene, orig, direction, alive)
 
     np.testing.assert_allclose(np.asarray(aux[2]), np.asarray(t), atol=1e-5)
     hit = np.isfinite(np.asarray(t))
-    np.testing.assert_array_equal(np.asarray(tri_f)[hit], np.asarray(tri)[hit])
+    # idx_m is Morton-space; map through perm to compare with unique ids
+    tri_f = np.asarray(scene.mxu.perm)[np.asarray(idx_m)]
+    np.testing.assert_array_equal(tri_f[hit], np.asarray(tri)[hit])
     np.testing.assert_allclose(np.asarray(aux[0])[hit], np.asarray(u)[hit], atol=1e-5)
     np.testing.assert_allclose(np.asarray(aux[1])[hit], np.asarray(v)[hit], atol=1e-5)
     # streams/alive pass-through rows
@@ -133,23 +135,12 @@ def test_fused_matches_xla_shading(scene_and_rays):
     orig_x = jnp.where(stepped[:, None], new_orig, orig)
     dir_x = jnp.where(stepped[:, None], new_dir, direction)
 
-    # --- fused path (interpret mode on CPU)
+    # --- fused path (interpret mode on CPU); trace kernel supplies aux
+    # and Morton-space ids, which must agree with the XLA trace results.
     state = make_state16(orig, direction, throughput, radiance, alive, streams)
-    aux = jnp.stack(
-        [
-            u,
-            v,
-            t,
-            jax.lax.bitcast_convert_type(streams, jnp.float32),
-            alive.astype(jnp.float32),
-            jnp.zeros_like(t),
-            jnp.zeros_like(t),
-            jnp.zeros_like(t),
-        ],
-        axis=0,
-    )
+    aux, idx_m = trace_emit_aux(scene.mxu, state, interpret=True)
     new_state = jax.jit(
-        lambda s, a: shade_fused(scene, s, a, tri, bounce, interpret=True)
+        lambda s, a: shade_fused(scene, s, a, idx_m, bounce, interpret=True)
     )(state, aux)
 
     np.testing.assert_array_equal(

@@ -471,10 +471,11 @@ def _trace_kernel_t(state_ref, tri_ref, bbox_ref, aux_ref, idx_ref):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
-    """Field-major nearest hit: (16, R) state → (aux (8, R), tri (R,)).
+    """Field-major nearest hit: (16, R) state → (aux (8, R), idx_m (R,)).
 
     aux is ready for render/fused.py (u, v, t, streams, alive rows filled);
-    ``tri`` is the unique-triangle id (perm applied) for the record gather.
+    ``idx_m`` is the MORTON-space triangle index — the fused pipeline's
+    shade_table_t is pre-permuted into the same order, so no perm gather.
     """
     R = state16.shape[1]
     assert R % LANE_BLOCK == 0, f"wave {R} not a multiple of {LANE_BLOCK}"
@@ -499,6 +500,4 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
         ],
     )(state16, tris.tri_data, tris.tile_bbox)
 
-    tri = tris.perm[jnp.clip(idx_m[0], 0, tris.perm.shape[0] - 1)]
-    hit = aux[2] < INF
-    return aux, jnp.where(hit, tri, 0)
+    return aux, idx_m[0]

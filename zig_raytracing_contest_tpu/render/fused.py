@@ -27,7 +27,8 @@ Row layouts:
   state (16, R) f32: [ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
                       alive, streams(bitcast), segments, pad]
   tex_idx (8, R) i32: base [p11, p21, p12, p22], emissive [p11, p21, p12, p22]
-  texels  (32, R) f32: row = 4*texel + channel
+  texels  (32, R) f32: row = channel*8 + texel (channel-major: the axis-1
+                       gather from color_data_t reshapes to this for free)
 """
 
 from __future__ import annotations
@@ -132,19 +133,20 @@ def _make_shade_kernel(bounce: int):
         fu = svec_ref[3, :]
         fv = svec_ref[4, :]
 
-        def bilinear(c0):
-            """Combine 4 texels of channel offset c0 (base) / c0+16 (emis)."""
-            r1 = tex_ref[c0 + 0, :] * (1.0 - fu) + tex_ref[c0 + 4, :] * fu
-            r2 = tex_ref[c0 + 8, :] * (1.0 - fu) + tex_ref[c0 + 12, :] * fu
+        def bilinear(channel, t0):
+            """Combine texels t0..t0+3 of a channel (row = channel*8 + texel)."""
+            base = channel * 8 + t0
+            r1 = tex_ref[base + 0, :] * (1.0 - fu) + tex_ref[base + 1, :] * fu
+            r2 = tex_ref[base + 2, :] * (1.0 - fu) + tex_ref[base + 3, :] * fu
             return r1 * (1.0 - fv) + r2 * fv
 
-        ar = bilinear(0)
-        ag = bilinear(1)
-        ab = bilinear(2)
-        opacity = bilinear(3)
-        er = bilinear(16)
-        eg = bilinear(17)
-        eb = bilinear(18)
+        ar = bilinear(0, 0)
+        ag = bilinear(1, 0)
+        ab = bilinear(2, 0)
+        opacity = bilinear(3, 0)
+        er = bilinear(0, 4)
+        eg = bilinear(1, 4)
+        eb = bilinear(2, 4)
 
         # stochastic alpha + diffuse scatter randomness (matches ops/rng.py)
         rnd = _u01(_bits(streams, 2 * bounce + 1, 0))
@@ -229,7 +231,7 @@ def shade_fused(
     scene: DeviceScene,
     state,  # (16, R) f32 field-major ray state (see ops/mxu_intersect.py)
     aux,  # (8, R) f32 from trace_emit_aux: [u, v, t, streams, alive, ...]
-    tri,  # (R,) int32 unique-triangle ids
+    tri_m,  # (R,) int32 Morton-space triangle ids (shade_table_t order)
     bounce: int,
     interpret: bool = False,
 ):
@@ -248,7 +250,9 @@ def shade_fused(
 
     nb = Rp // SHADE_BLOCK
 
-    rec = padr(scene.shade_table[tri].T)  # (32, R) gather + transpose (XLA)
+    # Axis-1 gather from the pre-permuted field-major table: no transpose,
+    # no perm lookup.
+    rec = padr(jnp.take(scene.shade_table_t, tri_m, axis=1))  # (32, R)
     aux = padr(aux)
 
     tex_idx, svec = pl.pallas_call(
@@ -263,14 +267,11 @@ def shade_fused(
         interpret=interpret,
     )(rec, aux)
 
-    # ONE wide texel gather: (8, Rp) indices → (8, Rp, 4) RGBA texels →
-    # (32, Rp) with row = 4*texel + channel.  Padding rows hit texel 0 —
+    # ONE wide texel gather along the transposed bank's ray axis:
+    # (4, P) taken at (8, Rp) indices → (4, 8, Rp) → reshape (32, Rp) with
+    # row = channel*8 + texel, no transpose.  Padding rows hit texel 0 —
     # harmless, masked by alive=0.
-    texels = (
-        jnp.take(scene.color_data, tex_idx, axis=0)
-        .transpose(0, 2, 1)
-        .reshape(32, Rp)
-    )
+    texels = jnp.take(scene.color_data_t, tex_idx, axis=1).reshape(32, Rp)
 
     new_state = pl.pallas_call(
         _make_shade_kernel(bounce),

@@ -60,6 +60,11 @@ class DeviceScene(NamedTuple):
     color_data: jnp.ndarray  # (P, 4) f32 (channel 3 = opacity semantics)
     # MXU brute-force backend (None → grid/gather traversal is used):
     mxu: MXUTriangles | None = None
+    # Fused-pipeline variants (None unless mxu is built): field-major and
+    # pre-permuted so the hot loop needs no transposes or perm gathers —
+    # shade_table_t is (32, Tp) in Morton order; color_data_t is (4, P).
+    shade_table_t: jnp.ndarray | None = None
+    color_data_t: jnp.ndarray | None = None
 
 
 def _desc_to_f32(desc_rows: np.ndarray) -> np.ndarray:
@@ -105,6 +110,16 @@ def build_device_scene(
     def pad1(a):
         return np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
 
+    shade_np = build_shade_table(geometry, materials)
+    mxu = (
+        bake_triangles(
+            geometry.positions[:, 0],
+            geometry.positions[:, 1] - geometry.positions[:, 0],
+            geometry.positions[:, 2] - geometry.positions[:, 0],
+        )
+        if use_mxu
+        else None
+    )
     return DeviceScene(
         grid=GridParams(
             bbox_min=jnp.asarray(grid.bbox_min, jnp.float32),
@@ -118,15 +133,19 @@ def build_device_scene(
         tri_e1=jnp.asarray(pad1(p1 - p0), jnp.float32),
         tri_e2=jnp.asarray(pad1(p2 - p0), jnp.float32),
         dup_to_tri=jnp.asarray(pad1(grid.dup_to_tri), jnp.int32),
-        shade_table=jnp.asarray(build_shade_table(geometry, materials)),
+        shade_table=jnp.asarray(shade_np),
         color_data=jnp.asarray(materials.color_data, jnp.float32),
-        mxu=(
-            bake_triangles(
-                geometry.positions[:, 0],
-                geometry.positions[:, 1] - geometry.positions[:, 0],
-                geometry.positions[:, 2] - geometry.positions[:, 0],
+        mxu=mxu,
+        shade_table_t=(
+            jnp.asarray(
+                np.ascontiguousarray(shade_np[np.asarray(mxu.perm)].T)
             )
-            if use_mxu
+            if mxu is not None
+            else None
+        ),
+        color_data_t=(
+            jnp.asarray(np.ascontiguousarray(materials.color_data.T), jnp.float32)
+            if mxu is not None
             else None
         ),
     )
