@@ -27,7 +27,6 @@ from ..scene.camera import Camera
 from ..scene.types import DeviceScene
 from ..utils.image_io import write_png
 from ..utils.timing import PhaseTimers
-from .. import render as _render  # noqa: F401  (import cycle guard)
 from ..render.pipeline import RenderStats, prepare_scene
 from ..render.wavefront import render_wave
 

@@ -105,7 +105,7 @@ def render_scene(
     base_key = jnp.uint32(config.seed)
 
     fb = jnp.zeros((fb_rows, 3), jnp.float32)
-    segments = 0
+    seg_parts = []  # device scalars; converting per-wave would force a sync
 
     with timers.phase("render", "Rendered"):
         for wave in range(num_waves):
@@ -124,7 +124,7 @@ def render_scene(
                 num_pixels,
                 base_key,
             )
-            segments += int(wave_segments)
+            seg_parts.append(wave_segments)
             if (
                 progressive_path
                 and config.progressive_every
@@ -135,6 +135,7 @@ def render_scene(
                 partial_px = np.asarray(linalg.vec3_to_rgb(fb[:num_pixels] / spp))
                 write_png(progressive_path, partial_px.reshape(h, w, 3))
         img = np.asarray(linalg.vec3_to_rgb(fb[:num_pixels] / spp)).reshape(h, w, 3)
+        segments = int(np.sum([int(sp) for sp in seg_parts], dtype=np.int64))
 
     stats = RenderStats(
         width=w,
