@@ -264,6 +264,33 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert Image.open(out).size == (16, 16)
 
 
+def test_progressive_dump(tmp_path, box):
+    """progressive_every writes intermediate PNGs during the render
+    (the reference has no progressive mode; TPU-native extension)."""
+    _, gltf, _, _, _, scene = box
+    # Need several waves: wave quantum is spp*1024, so use a larger camera.
+    cam = load_camera(gltf, width=48, height=48)
+    out = tmp_path / "prog.png"
+    cfg = Config(num_samples=2, max_bounce=2, wave_size=2048, progressive_every=1)
+    from zig_raytracing_contest_tpu.render.pipeline import render_scene as rs
+
+    img, _ = rs(scene, cam, cfg, progressive_path=str(out))
+    assert out.exists()  # at least one intermediate dump happened
+    from PIL import Image
+
+    assert Image.open(out).size == (48, 48)
+
+
+def test_odd_spp_small_image_waves(box):
+    """Wave quantization must satisfy every kernel's block constraint even
+    for odd spp × small images (regression: spp*256 quanta broke the
+    512-lane trace kernel's alignment on TPU)."""
+    _, _, cam, _, _, scene = box
+    img, stats = render_scene(scene, cam, Config(num_samples=3, max_bounce=2))
+    assert img.shape == (H, W, 3)
+    assert stats.segments > 0
+
+
 def test_pipeline_prepare_scene(tmp_path):
     path = procedural.cornell_like_box(tmp_path / "p.gltf")
     cfg = Config(grid_resolution=(8, 8, 8))

@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default="config.json")
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--log-level", default="INFO")
+    p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="write a jax.profiler trace of the render to DIR (TensorBoard "
+        "/ Perfetto format)",
+    )
     return p
 
 
@@ -42,6 +49,13 @@ def main(argv=None) -> int:
     from .config import Config
 
     config = Config.load(args.config)
+
+    profiler = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile, create_perfetto_trace=True)
+        profiler = jax
 
     if args.devices is not None and args.devices > 1:
         from .parallel.sharding import render_file_sharded
@@ -66,6 +80,9 @@ def main(argv=None) -> int:
             width=args.width,
             height=args.height,
         )
+
+    if profiler is not None:
+        profiler.profiler.stop_trace()
 
     mrays = stats.segments / max(stats.phases.get("render", 1e-9), 1e-9) / 1e6
     logging.getLogger("zig_raytracing_contest_tpu").info(

@@ -145,8 +145,9 @@ def render_scene_sharded(
     rays_per_dev = pix_per_dev * spp
     # Wave quantum: spp (whole pixels → scatter-free accumulation) × 256
     # (Pallas ray blocks).
-    from ..ops.mxu_intersect import RAY_BLOCK
-    quantum = spp * RAY_BLOCK
+    # Multiple of every kernel's block constraint (ray-major 256, trace
+    # lanes 512) AND of spp (whole pixels per wave).
+    quantum = spp * 1024
     wave_size = max(
         quantum,
         min(config.wave_size, rays_per_dev + quantum - 1) // quantum * quantum,

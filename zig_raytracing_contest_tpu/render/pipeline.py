@@ -86,8 +86,9 @@ def render_scene(
     # Waves are quantized to spp*256 rays: multiples of spp so every wave
     # covers whole pixels (scatter-free accumulation) and of 256 for the
     # Pallas ray blocks.  Padding rays of the final wave are masked.
-    from ..ops.mxu_intersect import RAY_BLOCK
-    quantum = spp * RAY_BLOCK
+    # Multiple of every kernel's block constraint (ray-major 256, trace
+    # lanes 512) AND of spp (whole pixels per wave).
+    quantum = spp * 1024
     wave_size = max(
         quantum, min(config.wave_size, total_rays + quantum - 1) // quantum * quantum
     )
