@@ -178,3 +178,23 @@ def test_fused_dead_rays_stay_dead(scene_and_rays):
         np.asarray(new_state[9:12]), np.zeros((3, R), np.float32)
     )
     np.testing.assert_array_equal(np.asarray(new_state[14]), np.zeros(R, np.float32))
+
+
+def test_streaming_trace_matches_resident(scene_and_rays, monkeypatch):
+    """The HBM-streaming trace kernel (forced via the VMEM threshold) must
+    agree exactly with the VMEM-resident kernel in interpret mode."""
+    from zig_raytracing_contest_tpu.ops import mxu_intersect as mi
+
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(5), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    aux_a, idx_a = trace_emit_aux(scene.mxu, state, interpret=True)
+    monkeypatch.setattr(mi, "VMEM_RESIDENT_MAX_TRIS", 0)  # force streaming
+    trace_emit_aux._clear_cache()
+    aux_b, idx_b = trace_emit_aux(scene.mxu, state, interpret=True)
+    trace_emit_aux._clear_cache()
+    np.testing.assert_array_equal(np.asarray(aux_a), np.asarray(aux_b))
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))

@@ -51,8 +51,10 @@ INF = jnp.inf
 RAY_BLOCK = 256  # rays per Pallas program instance (ray-major kernel)
 TRI_TILE = 256  # triangles per inner tile / bbox granularity (lane-aligned)
 
-# tri_data row layout: 9 rows of M (row-major), 3 rows of c, 1 row of |n|².
+# tri_data row layout: 9 rows of M (row-major), 3 rows of c, 1 row of |n|²,
+# padded to 16 rows so DMA slices are sublane-aligned (multiples of 8).
 _ROWS = 13
+_BANK_ROWS = 16
 
 
 class MXUTriangles(NamedTuple):
@@ -114,7 +116,7 @@ def bake_triangles(
     c = -np.einsum("tak,tk->ta", M, v0)  # (T, 3)
 
     Tp = -(-max(T, 1) // tile) * tile
-    tri_data = np.zeros((_ROWS, Tp), np.float32)
+    tri_data = np.zeros((_BANK_ROWS, Tp), np.float32)
     tri_data[0:9, :T] = M.reshape(T, 9).T.astype(np.float32)
     tri_data[9:12, :T] = c.T.astype(np.float32)
     tri_data[12, :T] = n_sq.astype(np.float32)
@@ -379,6 +381,51 @@ def nearest_hit_mxu(tris: MXUTriangles, orig, direction, active):
 LANE_BLOCK = 512  # rays per grid step (lanes)
 TRI_TILE_T = 256  # triangles per inner tile (sublanes)
 
+# Above this padded triangle count the transform bank no longer fits VMEM
+# comfortably; the streaming kernel keeps it in HBM and DMAs only the tiles
+# that survive the block-level AABB cull.
+VMEM_RESIDENT_MAX_TRIS = 1 << 16
+
+
+def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref):
+    """Intersect one (13, Kt) transform tile against the lane rays and fold
+    the winners into the running-nearest refs.  Shared by the VMEM-resident
+    and HBM-streaming trace kernels."""
+    m = lambda r: rows[r][:, None]  # (Kt, 1) broadcast over lanes
+    oxr, oyr, ozr = ox[None, :], oy[None, :], oz[None, :]
+    dxr, dyr, dzr = dx[None, :], dy[None, :], dz[None, :]
+    ou = oxr * m(0) + oyr * m(1) + ozr * m(2) + m(9)
+    ov = oxr * m(3) + oyr * m(4) + ozr * m(5) + m(10)
+    ow = oxr * m(6) + oyr * m(7) + ozr * m(8) + m(11)
+    du = dxr * m(0) + dyr * m(1) + dzr * m(2)
+    dv = dxr * m(3) + dyr * m(4) + dzr * m(5)
+    dw = dxr * m(6) + dyr * m(7) + dzr * m(8)
+    t = -ow / dw
+    u = ou + t * du
+    v = ov + t * dv
+    det = -dw * m(12)
+    ok = (
+        (det >= MT_EPSILON)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    t = jnp.where(ok, t, INF)
+    tile_min = jnp.min(t, axis=0)  # (LB,)
+    ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    cand = jnp.min(jnp.where(t <= tile_min[None, :], ids, Tp), axis=0)
+    sel = ids == cand[None, :]
+    u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+    v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+    best_t = aux_ref[2, :]
+    better = tile_min < best_t
+    aux_ref[2, :] = jnp.where(better, tile_min, best_t)
+    aux_ref[0, :] = jnp.where(better, u_sel, aux_ref[0, :])
+    aux_ref[1, :] = jnp.where(better, v_sel, aux_ref[1, :])
+    idx_ref[0, :] = jnp.where(better, s + cand, idx_ref[0, :])
+
 
 def _trace_kernel_t(state_ref, tri_ref, bbox_ref, aux_ref, idx_ref):
     Tp = tri_ref.shape[1]
@@ -429,44 +476,83 @@ def _trace_kernel_t(state_ref, tri_ref, bbox_ref, aux_ref, idx_ref):
         def _():
             s = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
             rows = tri_ref[:, pl.ds(s, TRI_TILE_T)]  # (13, Kt)
-            m = lambda r: rows[r][:, None]  # (Kt, 1) broadcast over lanes
-            oxr, oyr, ozr = ox[None, :], oy[None, :], oz[None, :]
-            dxr, dyr, dzr = dx[None, :], dy[None, :], dz[None, :]
-            ou = oxr * m(0) + oyr * m(1) + ozr * m(2) + m(9)
-            ov = oxr * m(3) + oyr * m(4) + ozr * m(5) + m(10)
-            ow = oxr * m(6) + oyr * m(7) + ozr * m(8) + m(11)
-            du = dxr * m(0) + dyr * m(1) + dzr * m(2)
-            dv = dxr * m(3) + dyr * m(4) + dzr * m(5)
-            dw = dxr * m(6) + dyr * m(7) + dzr * m(8)
-            t = -ow / dw
-            u = ou + t * du
-            v = ov + t * dv
-            det = -dw * m(12)
-            ok = (
-                (det >= MT_EPSILON)
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > 0.0)
-            )
-            t = jnp.where(ok, t, INF)
-            tile_min = jnp.min(t, axis=0)  # (LB,)
-            ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-            cand = jnp.min(jnp.where(t <= tile_min[None, :], ids, Tp), axis=0)
-            sel = ids == cand[None, :]
-            u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
-            v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
-            best_t = aux_ref[2, :]
-            better = tile_min < best_t
-            aux_ref[2, :] = jnp.where(better, tile_min, best_t)
-            aux_ref[0, :] = jnp.where(better, u_sel, aux_ref[0, :])
-            aux_ref[1, :] = jnp.where(better, v_sel, aux_ref[1, :])
-            idx_ref[0, :] = jnp.where(better, s + cand, idx_ref[0, :])
+            _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref)
 
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+
+def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, aux_ref, idx_ref):
+    """HBM-streaming variant: the transform bank stays in HBM; tiles that
+    survive the block-level AABB cull are DMA'd into a VMEM scratch tile.
+    The per-tile copy is ~13 KB — latency mostly hides behind the previous
+    tile's VPU work, and culled tiles cost nothing."""
+    Tp = tri_hbm_ref.shape[1]
+    num_tiles = Tp // TRI_TILE_T
+
+    ox = state_ref[0, :]
+    oy = state_ref[1, :]
+    oz = state_ref[2, :]
+    dx = state_ref[3, :]
+    dy = state_ref[4, :]
+    dz = state_ref[5, :]
+    active = state_ref[12, :] > 0.0
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+
+    aux_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
+    aux_ref[1, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
+    aux_ref[2, :] = jnp.full((LANE_BLOCK,), INF, jnp.float32)
+    aux_ref[3, :] = state_ref[13, :]
+    aux_ref[4, :] = state_ref[12, :]
+    aux_ref[5, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
+    aux_ref[6, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
+    aux_ref[7, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
+    idx_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.int32)
+
+    def scoped(scratch, sem):
+        def tile_body(jt, _):
+            best = aux_ref[2, :]
+            tx1 = (bbox_ref[0, jt] - ox) * inv_dx
+            tx2 = (bbox_ref[3, jt] - ox) * inv_dx
+            ty1 = (bbox_ref[1, jt] - oy) * inv_dy
+            ty2 = (bbox_ref[4, jt] - oy) * inv_dy
+            tz1 = (bbox_ref[2, jt] - oz) * inv_dz
+            tz2 = (bbox_ref[5, jt] - oz) * inv_dz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+                jnp.minimum(tz1, tz2),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+                jnp.maximum(tz1, tz2),
+            )
+            box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
+            box_hit = active & ~box_miss
+
+            @pl.when(jnp.any(box_hit))
+            def _():
+                s = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
+                cp = pltpu.make_async_copy(
+                    tri_hbm_ref.at[:, pl.ds(s, TRI_TILE_T)], scratch, sem
+                )
+                cp.start()
+                cp.wait()
+                _tile_update(
+                    scratch[:, :], ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+    pl.run_scoped(
+        scoped,
+        scratch=pltpu.VMEM((_BANK_ROWS, TRI_TILE_T), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -481,13 +567,16 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
     assert R % LANE_BLOCK == 0, f"wave {R} not a multiple of {LANE_BLOCK}"
     nb = R // LANE_BLOCK
 
+    streaming = tris.tri_data.shape[1] > VMEM_RESIDENT_MAX_TRIS
+    kernel = _trace_kernel_t_hbm if streaming else _trace_kernel_t
+    tri_space = pltpu.ANY if streaming else pltpu.VMEM
     aux, idx_m = pl.pallas_call(
-        _trace_kernel_t,
+        kernel,
         grid=(nb,),
         interpret=interpret,
         in_specs=[
             pl.BlockSpec((16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0), memory_space=tri_space),
             pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[

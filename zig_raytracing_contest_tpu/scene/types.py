@@ -29,9 +29,11 @@ from ..ops.mxu_intersect import MXUTriangles, bake_triangles
 from .geometry import GeometryArrays
 from .materials import MaterialBank
 
-# Above this many triangles, brute-force MXU intersection stops paying off
-# vs. grid traversal; tuned for v5e (see ops/mxu_intersect.py docstring).
-MXU_BACKEND_MAX_TRIANGLES = 1 << 16
+# Auto-backend cap for the MXU path.  Up to ~64k triangles the transform
+# bank is VMEM-resident; beyond that the streaming trace kernel DMAs culled
+# tiles from HBM (ops/mxu_intersect.py).  The cap bounds the SMEM tile-bbox
+# table and the host bake; scenes past it use the grid/DDA fallback.
+MXU_BACKEND_MAX_TRIANGLES = 1 << 21
 
 # shade_table column layout
 COL_NRM = 0  # 9 cols: 3 vertices × xyz (world, normalized)
