@@ -84,7 +84,14 @@ def _texel_pair(c, size_f, lo_f, hi_f, is_repeat):
     return jnp.where(is_repeat, r1, c1), jnp.where(is_repeat, r2, c2)
 
 
-def _prep_kernel(rec_ref, aux_ref, idx_ref, svec_ref):
+def _make_prep_kernel(emissive_dummy: bool):
+    def _prep_kernel(rec_ref, aux_ref, idx_ref, svec_ref):
+        return _prep_body(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy)
+
+    return _prep_kernel
+
+
+def _prep_body(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
     u = aux_ref[0, :]
     v = aux_ref[1, :]
     w0 = 1.0 - u - v
@@ -111,7 +118,14 @@ def _prep_kernel(rec_ref, aux_ref, idx_ref, svec_ref):
         idx_ref[row0 + 3, :] = off + y2w + x2i
 
     tex_indices(COL_BASE_DESC, 0)
-    tex_indices(COL_EMIS_DESC, 4)
+    if emissive_dummy:
+        # Every emissive entry is a 1×1 dummy: its only texel sits at the
+        # descriptor offset — one fetch instead of four bilinear corners.
+        idx_ref[4, :] = rec(COL_EMIS_DESC).astype(jnp.int32)
+        for k in range(5, 8):
+            idx_ref[k, :] = jnp.zeros_like(idx_ref[4, :])
+    else:
+        tex_indices(COL_EMIS_DESC, 4)
 
     svec_ref[0, :] = nx
     svec_ref[1, :] = ny
@@ -123,7 +137,9 @@ def _prep_kernel(rec_ref, aux_ref, idx_ref, svec_ref):
     svec_ref[7, :] = jnp.zeros_like(tc_u)
 
 
-def _make_shade_kernel(bounce: int):
+def _make_shade_kernel(bounce: int, emissive_dummy: bool):
+    tex_stride = 5 if emissive_dummy else 8
+
     def _shade_kernel(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref):
         t = aux_ref[2, :]
         streams = pltpu.bitcast(aux_ref[3:4, :], jnp.uint32)[0, :]
@@ -134,8 +150,8 @@ def _make_shade_kernel(bounce: int):
         fv = svec_ref[4, :]
 
         def bilinear(channel, t0):
-            """Combine texels t0..t0+3 of a channel (row = channel*8 + texel)."""
-            base = channel * 8 + t0
+            """Combine texels t0..t0+3 of a channel (row = channel*stride + texel)."""
+            base = channel * tex_stride + t0
             r1 = tex_ref[base + 0, :] * (1.0 - fu) + tex_ref[base + 1, :] * fu
             r2 = tex_ref[base + 2, :] * (1.0 - fu) + tex_ref[base + 3, :] * fu
             return r1 * (1.0 - fv) + r2 * fv
@@ -144,9 +160,16 @@ def _make_shade_kernel(bounce: int):
         ag = bilinear(1, 0)
         ab = bilinear(2, 0)
         opacity = bilinear(3, 0)
-        er = bilinear(0, 4)
-        eg = bilinear(1, 4)
-        eb = bilinear(2, 4)
+        if emissive_dummy:
+            # single dummy texel per channel (a bilinear of four identical
+            # texels equals the texel up to one rounding)
+            er = tex_ref[0 * tex_stride + 4, :]
+            eg = tex_ref[1 * tex_stride + 4, :]
+            eb = tex_ref[2 * tex_stride + 4, :]
+        else:
+            er = bilinear(0, 4)
+            eg = bilinear(1, 4)
+            eb = bilinear(2, 4)
 
         # stochastic alpha + diffuse scatter randomness (matches ops/rng.py)
         rnd = _u01(_bits(streams, 2 * bounce + 1, 0))
@@ -249,6 +272,8 @@ def shade_fused(
         return jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, Rp - R),))
 
     nb = Rp // SHADE_BLOCK
+    # Static branch: present marker ⇒ every emissive entry is 1×1.
+    emissive_dummy = scene.emissive_all_dummy is not None
 
     # Axis-1 gather from the pre-permuted field-major table: no transpose,
     # no perm lookup.
@@ -256,7 +281,7 @@ def shade_fused(
     aux = padr(aux)
 
     tex_idx, svec = pl.pallas_call(
-        _prep_kernel,
+        _make_prep_kernel(emissive_dummy),
         grid=(nb,),
         in_specs=[_rspec(32), _rspec(8)],
         out_specs=[_rspec(8), _rspec(8)],
@@ -271,12 +296,15 @@ def shade_fused(
     # (4, P) taken at (8, Rp) indices → (4, 8, Rp) → reshape (32, Rp) with
     # row = channel*8 + texel, no transpose.  Padding rows hit texel 0 —
     # harmless, masked by alive=0.
-    texels = jnp.take(scene.color_data_t, tex_idx, axis=1).reshape(32, Rp)
+    n_texels = 5 if emissive_dummy else 8
+    texels = jnp.take(scene.color_data_t, tex_idx[:n_texels], axis=1).reshape(
+        4 * n_texels, Rp
+    )
 
     new_state = pl.pallas_call(
-        _make_shade_kernel(bounce),
+        _make_shade_kernel(bounce, emissive_dummy),
         grid=(nb,),
-        in_specs=[_rspec(8), _rspec(8), _rspec(32), _rspec(16)],
+        in_specs=[_rspec(8), _rspec(8), _rspec(4 * n_texels), _rspec(16)],
         out_specs=_rspec(16),
         out_shape=jax.ShapeDtypeStruct((16, Rp), jnp.float32),
         interpret=interpret,

@@ -62,7 +62,8 @@ def prepare_scene(in_path: str, config: Config, camera_name=None, width=None, he
             grid = build_grid_native(
                 geometry.positions, config.grid_resolution, log_fn=log.info
             )
-        except Exception:  # no C++ toolchain → NumPy reference builder
+        except Exception as exc:  # no C++ toolchain → NumPy reference builder
+            log.warning("native grid builder unavailable (%s); using NumPy", exc)
             grid = build_grid(geometry.positions, config.grid_resolution, log=log.info)
         scene = build_device_scene(geometry, grid, materials, backend=config.backend)
         if scene.mxu is not None:

@@ -67,6 +67,11 @@ class DeviceScene(NamedTuple):
     # shade_table_t is (32, Tp) in Morton order; color_data_t is (4, P).
     shade_table_t: jnp.ndarray | None = None
     color_data_t: jnp.ndarray | None = None
+    # Static marker (None vs present IS the flag — pytree structure, so the
+    # fused pipeline can branch on it at trace time): present when every
+    # material's emissive entry is a 1×1 dummy (factor only), letting the
+    # shade pipeline fetch one emissive texel instead of four.
+    emissive_all_dummy: jnp.ndarray | None = None
 
 
 def _desc_to_f32(desc_rows: np.ndarray) -> np.ndarray:
@@ -148,6 +153,18 @@ def build_device_scene(
         color_data_t=(
             jnp.asarray(np.ascontiguousarray(materials.color_data.T), jnp.float32)
             if mxu is not None
+            else None
+        ),
+        emissive_all_dummy=(
+            jnp.zeros(0, jnp.float32)
+            if mxu is not None
+            and bool(
+                np.all(
+                    materials.color_desc[materials.mat_emissive, 1]
+                    * materials.color_desc[materials.mat_emissive, 2]
+                    == 1
+                )
+            )
             else None
         ),
     )
