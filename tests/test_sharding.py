@@ -44,6 +44,43 @@ def test_sharded_matches_single_device(box, n):
     assert stats_s.segments == stats_m.segments
 
 
+def test_cli_devices_flag(box, tmp_path):
+    """--devices N routes through the sharded renderer end-to-end."""
+    import json
+
+    from zig_raytracing_contest_tpu.cli import main
+    from zig_raytracing_contest_tpu.scene import procedural
+
+    scene_path = procedural.cornell_like_box(tmp_path / "s.glb", glb=True)
+    cfg = tmp_path / "config.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "grid_resolution": [8, 8, 8],
+                "num_threads": None,
+                "num_samples": 1,
+                "max_bounce": 2,
+            }
+        )
+    )
+    out = tmp_path / "out.png"
+    rc = main(
+        [
+            "--in", str(scene_path),
+            "--out", str(out),
+            "--camera", "Camera 1",
+            "--width", "16",
+            "--height", "16",
+            "--config", str(cfg),
+            "--devices", "2",
+        ]
+    )
+    assert rc == 0
+    from PIL import Image
+
+    assert Image.open(out).size == (16, 16)
+
+
 def test_uneven_pixel_tiles(box):
     cam, scene = box
     # 16x16=256 pixels over 3 devices: 86/86/84 split exercises masking.

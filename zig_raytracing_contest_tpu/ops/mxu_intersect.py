@@ -390,16 +390,30 @@ VMEM_RESIDENT_MAX_TRIS = 1 << 16
 def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref):
     """Intersect one (13, Kt) transform tile against the lane rays and fold
     the winners into the running-nearest refs.  Shared by the VMEM-resident
-    and HBM-streaming trace kernels."""
+    and HBM-streaming trace kernels.
+
+    The six transform applications run as K=3 ``dot_general``s on the MXU
+    (which is otherwise idle during tracing), halving the VPU load of the
+    tile sweep; the t/u/v/cull tail stays on the VPU."""
     m = lambda r: rows[r][:, None]  # (Kt, 1) broadcast over lanes
-    oxr, oyr, ozr = ox[None, :], oy[None, :], oz[None, :]
-    dxr, dyr, dzr = dx[None, :], dy[None, :], dz[None, :]
-    ou = oxr * m(0) + oyr * m(1) + ozr * m(2) + m(9)
-    ov = oxr * m(3) + oyr * m(4) + ozr * m(5) + m(10)
-    ow = oxr * m(6) + oyr * m(7) + ozr * m(8) + m(11)
-    du = dxr * m(0) + dyr * m(1) + dzr * m(2)
-    dv = dxr * m(3) + dyr * m(4) + dzr * m(5)
-    dw = dxr * m(6) + dyr * m(7) + dzr * m(8)
+    o_mat = jnp.stack([ox, oy, oz], axis=0)  # (3, LB)
+    d_mat = jnp.stack([dx, dy, dz], axis=0)  # (3, LB)
+    dn = (((0,), (0,)), ((), ()))  # contract the 3-axis, no batch dims
+
+    def apply(row0, vec):
+        return jax.lax.dot_general(
+            rows[row0 : row0 + 3],  # (3, Kt)
+            vec,  # (3, LB)
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )  # (Kt, LB)
+
+    ou = apply(0, o_mat) + m(9)
+    ov = apply(3, o_mat) + m(10)
+    ow = apply(6, o_mat) + m(11)
+    du = apply(0, d_mat)
+    dv = apply(3, d_mat)
+    dw = apply(6, d_mat)
     t = -ow / dw
     u = ou + t * du
     v = ov + t * dv
