@@ -379,7 +379,7 @@ def nearest_hit_mxu(tris: MXUTriangles, orig, direction, active):
 #               12 alive (f32), 13 streams (u32 bitcast), 14 segments, 15 pad.
 
 LANE_BLOCK = 512  # rays per grid step (lanes)
-TRI_TILE_T = 256  # triangles per inner tile (sublanes)
+TRI_TILE_T = 256  # triangles per inner tile (sublanes); must equal the bake tile (bbox granularity)
 
 # Above this padded triangle count the transform bank no longer fits VMEM
 # comfortably; the streaming kernel keeps it in HBM and DMAs only the tiles
