@@ -579,6 +579,9 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
     """
     R = state16.shape[1]
     assert R % LANE_BLOCK == 0, f"wave {R} not a multiple of {LANE_BLOCK}"
+    # The kernels index per-tile bboxes by tile id — tile size and bake
+    # granularity must agree.
+    assert tris.tri_data.shape[1] == tris.tile_bbox.shape[1] * TRI_TILE_T
     nb = R // LANE_BLOCK
 
     streaming = tris.tri_data.shape[1] > VMEM_RESIDENT_MAX_TRIS
