@@ -298,3 +298,12 @@ def test_pipeline_prepare_scene(tmp_path):
     assert cam.width == 8
     assert scene.tri_v0.shape[0] == scene.dup_to_tri.shape[0]
     assert "load" in timers.phases and "compile" in timers.phases
+
+
+def test_oversize_image_rejected(box):
+    """Pixel ids must stay below 2^23 for the exact-f32 ray-id math; bigger
+    framings get a clear error instead of silent corruption."""
+    _, gltf, _, _, _, scene = box
+    cam = load_camera(gltf, width=4096, height=4096)
+    with pytest.raises(ValueError, match="pixels"):
+        render_scene(scene, cam, Config(num_samples=1, max_bounce=1))

@@ -141,6 +141,11 @@ def render_scene_sharded(
     n = mesh.devices.size
     w, h, spp = camera.width, camera.height, config.num_samples
     num_pixels = w * h
+    if num_pixels >= 1 << 23:
+        raise ValueError(
+            f"image has {num_pixels} pixels; the renderer supports up to "
+            f"{(1 << 23) - 1} (just above 4K). Render in tiles instead."
+        )
     pix_per_dev = -(-num_pixels // n)
     rays_per_dev = pix_per_dev * spp
     # Wave quantum: spp (whole pixels → scatter-free accumulation) × 256

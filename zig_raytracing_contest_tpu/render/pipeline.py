@@ -83,6 +83,13 @@ def render_scene(
     timers = timers or PhaseTimers()
     w, h, spp = camera.width, camera.height, config.num_samples
     num_pixels = w * h
+    if num_pixels >= 1 << 23:
+        # The ray-id → pixel/x/y decomposition uses exact f32 math, valid
+        # for pixel ids below 2^23 (4K = 8.29M is within range).
+        raise ValueError(
+            f"image has {num_pixels} pixels; the renderer supports up to "
+            f"{(1 << 23) - 1} (just above 4K). Render in tiles instead."
+        )
     total_rays = num_pixels * spp
     # Waves are quantized to spp*256 rays: multiples of spp so every wave
     # covers whole pixels (scatter-free accumulation) and of 256 for the
