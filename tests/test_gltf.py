@@ -198,3 +198,37 @@ class TestMaterials:
         desc = bank.color_desc[bank.mat_base[0]]
         # 3-channel source (actual_c=3): opacity constant 1.0 despite BLEND
         assert bank.color_data[int(desc[0]), 3] == 1.0
+
+
+class TestNodeHierarchy:
+    """Parent-chain transform composition (zgltf getGlobalTransform)."""
+
+    def _hierarchy_scene(self, tmp_path, camera_under_parent=False):
+        b = procedural.SceneBuilder()
+        m = b.add_material(base_color_factor=(1, 1, 1, 1))
+        p, i, n, t = procedural.quad((0, 0, 0), (1, 0, 0), (0, 1, 0))
+        child = b.add_mesh_node(p, i, m, normals=n, translation=[1, 0, 0])
+        cam_node = b.add_camera_node((0, 0, 5), (0, 0, 0), yfov=0.8, name="c")
+        # parent both under a translated+scaled group node
+        parent = {"children": [child] + ([cam_node] if camera_under_parent else []),
+                  "translation": [0, 10, 0], "scale": [2, 2, 2]}
+        b.nodes.append(parent)
+        # keep only the parent (and maybe camera) as roots
+        path = b.write_gltf(tmp_path / "h.gltf")
+        return load_gltf(path)
+
+    def test_mesh_under_transformed_parent(self, tmp_path):
+        g = self._hierarchy_scene(tmp_path)
+        geo = load_geometry(g)
+        # parent scale 2 then child translation [1,0,0] (scaled to 2) and
+        # parent translation [0,10,0]: quad spans x ∈ [0,4], y ∈ [8,12]
+        np.testing.assert_allclose(geo.positions[..., 0].min(), 0.0, atol=1e-5)
+        np.testing.assert_allclose(geo.positions[..., 0].max(), 4.0, atol=1e-5)
+        np.testing.assert_allclose(geo.positions[..., 1].min(), 8.0, atol=1e-5)
+        np.testing.assert_allclose(geo.positions[..., 1].max(), 12.0, atol=1e-5)
+
+    def test_camera_under_transformed_parent(self, tmp_path):
+        g = self._hierarchy_scene(tmp_path, camera_under_parent=True)
+        cam = load_camera(g, "c", width=8, height=8)
+        # camera position (0,0,5) scaled by 2 plus parent translation
+        np.testing.assert_allclose(cam.origin, [0, 10, 10], atol=1e-4)
