@@ -526,8 +526,28 @@ def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, aux_ref, idx_ref):
     aux_ref[7, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
     idx_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.int32)
 
-    def scoped(scratch, sem):
+    def scoped(scratch, sems):
+        # Double-buffered tile stream: every tile is fetched (v5e HBM
+        # bandwidth is ample — ~13 KB per tile) so the copy of tile jt+1
+        # always overlaps tile jt's cull + intersection work.
+        def get_dma(slot, jt):
+            src = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
+            return pltpu.make_async_copy(
+                tri_hbm_ref.at[:, pl.ds(src, TRI_TILE_T)],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        get_dma(0, 0).start()
+
         def tile_body(jt, _):
+            slot = jax.lax.rem(jt, 2)
+            nslot = jax.lax.rem(jt + 1, 2)
+
+            @pl.when(jt + 1 < num_tiles)
+            def _():
+                get_dma(nslot, jt + 1).start()
+
             best = aux_ref[2, :]
             tx1 = (bbox_ref[0, jt] - ox) * inv_dx
             tx2 = (bbox_ref[3, jt] - ox) * inv_dx
@@ -546,16 +566,13 @@ def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, aux_ref, idx_ref):
             box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
             box_hit = active & ~box_miss
 
+            get_dma(slot, jt).wait()
+
             @pl.when(jnp.any(box_hit))
             def _():
                 s = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
-                cp = pltpu.make_async_copy(
-                    tri_hbm_ref.at[:, pl.ds(s, TRI_TILE_T)], scratch, sem
-                )
-                cp.start()
-                cp.wait()
                 _tile_update(
-                    scratch[:, :], ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref
+                    scratch[slot], ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref
                 )
 
             return 0
@@ -564,8 +581,8 @@ def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, aux_ref, idx_ref):
 
     pl.run_scoped(
         scoped,
-        scratch=pltpu.VMEM((_BANK_ROWS, TRI_TILE_T), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA(()),
+        scratch=pltpu.VMEM((2, _BANK_ROWS, TRI_TILE_T), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
