@@ -109,38 +109,18 @@ def test_mxu_render_close_to_grid_render(box, box_mxu):
     assert (diff > 2).mean() < 0.02, f"backends diverge: {(diff > 2).mean()}"
 
 
-def test_pallas_kernel_matches_xla_tiles(box, box_mxu):
-    """The Pallas VMEM kernel (interpret mode on CPU) must agree with the
-    portable XLA tile scan on (t, winning index)."""
-    from zig_raytracing_contest_tpu.ops.mxu_intersect import (
-        RAY_BLOCK,
-        nearest_hit_pallas,
-        nearest_hit_xla,
-    )
+def test_inactive_rays_report_miss(box, box_mxu):
+    """Both backends honor the miss-on-inactive contract (ADVICE.md r1)."""
+    from zig_raytracing_contest_tpu.ops.mxu_intersect import nearest_hit_mxu
 
-    _, _, cam, _, _, _ = box
-    _, scene_mxu = box_mxu
-    orig, dirs = primary_rays(cam, W, H)
-    pad = -len(orig) % RAY_BLOCK
-    orig = np.pad(orig, ((0, pad), (0, 0)), constant_values=1.0)
-    dirs = np.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
-    o, d = jnp.asarray(orig), jnp.asarray(dirs)
-    act = jnp.ones(len(orig), bool)
-    tx, ix, ux, vx = nearest_hit_xla(scene_mxu.mxu, o, d, act)
-    tp, ip, up, vp = nearest_hit_pallas(scene_mxu.mxu, o, d, act, interpret=True)
-    np.testing.assert_allclose(np.asarray(tx), np.asarray(tp), atol=1e-5)
-    hit = np.isfinite(np.asarray(tx))
-    np.testing.assert_array_equal(np.asarray(ix)[hit], np.asarray(ip)[hit])
-    np.testing.assert_allclose(np.asarray(ux)[hit], np.asarray(up)[hit], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(vx)[hit], np.asarray(vp)[hit], atol=1e-5)
-
-
-def test_inactive_rays_report_miss(box):
     *_, scene = box
+    _, scene_mxu = box_mxu
     orig = jnp.zeros((8, 3), jnp.float32)
     dirs = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (8, 1))
     res = trace_wave(scene, orig, dirs, jnp.zeros(8, bool))
     assert bool(jnp.all(jnp.isinf(res.t)))
+    t, _, _, _ = nearest_hit_mxu(scene_mxu.mxu, orig, dirs, jnp.zeros(8, bool))
+    assert bool(jnp.all(jnp.isinf(t)))
 
 
 def test_render_deterministic_and_wave_size_invariant(box):
@@ -300,10 +280,47 @@ def test_pipeline_prepare_scene(tmp_path):
     assert "load" in timers.phases and "compile" in timers.phases
 
 
-def test_oversize_image_rejected(box):
-    """Pixel ids must stay below 2^23 for the exact-f32 ray-id math; bigger
-    framings get a clear error instead of silent corruption."""
+def test_huge_ray_count_rejected(box):
+    """Ray ids are int32; ray counts at/above 2^31 get a clear error
+    instead of silent wraparound (4096×4096×128 spp = exactly 2^31)."""
     _, gltf, _, _, _, scene = box
     cam = load_camera(gltf, width=4096, height=4096)
-    with pytest.raises(ValueError, match="pixels"):
-        render_scene(scene, cam, Config(num_samples=1, max_bounce=1))
+    with pytest.raises(ValueError, match="rays"):
+        render_scene(scene, cam, Config(num_samples=128, max_bounce=1))
+
+
+def test_wave_pixel_coords_exact_at_8k_bases():
+    """pixel/x/y must be exact for pixel bases past f32's 2^24 integer
+    range — 8K images and far device tiles (ADVICE.md r1 medium finding:
+    deriving the base from g_start via f32 divmod rounded it)."""
+    from zig_raytracing_contest_tpu.render.wavefront import wave_pixel_coords
+
+    width, spp = 7680, 3
+    local = np.arange(spp * 4096, dtype=np.int32)
+    # Bases: 0; odd just past 2^24 (f32-inexact); last wave of 8K×4320.
+    for base in [0, (1 << 24) + 1, 7680 * 4320 - 4096, 23_456_789]:
+        pixel, x, y = wave_pixel_coords(
+            jnp.asarray(local), spp, width, jnp.int32(base)
+        )
+        expect_pixel = base + local // spp
+        np.testing.assert_array_equal(np.asarray(pixel), expect_pixel)
+        np.testing.assert_array_equal(
+            np.asarray(x).astype(np.int64), expect_pixel % width
+        )
+        np.testing.assert_array_equal(
+            np.asarray(y).astype(np.int64), expect_pixel // width
+        )
+
+
+def test_above_2p23_pixel_render_smoke(box, box_mxu):
+    """Images above 2^23 pixels render (the r1 build hard-errored here).
+    4097×2048 = 8,390,656 pixels > 2^23; 1 spp, 1 bounce keeps it cheap."""
+    _, gltf, _, _, _, _ = box
+    _, scene = box_mxu
+    w, h = 4097, 2048
+    cam = load_camera(gltf, width=w, height=h)
+    img, stats = render_scene(scene, cam, Config(num_samples=1, max_bounce=1))
+    assert img.shape == (h, w, 3)
+    assert stats.segments == w * h  # every primary ray traced once
+    # Content sanity: the image is not a constant field.
+    assert img.std() > 0

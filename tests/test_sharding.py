@@ -81,6 +81,27 @@ def test_cli_devices_flag(box, tmp_path):
     assert Image.open(out).size == (16, 16)
 
 
+def test_fused_pipeline_under_shard_map(box):
+    """The production combination — fused Pallas kernels inside shard_map —
+    runs (interpret mode on CPU) and is bit-identical to the single-device
+    fused render AND to the sharded XLA-shading render (same RNG streams,
+    same hit rule; r1 never exercised this combination)."""
+    cam, scene = box
+    assert scene.mxu is not None  # auto backend bakes MXU for small scenes
+    cfg = Config(num_samples=2, max_bounce=3, seed=5, wave_size=2048)
+    single_fused, stats_f = render_scene(scene, cam, cfg, use_fused=True)
+    sharded_fused, stats_sf = render_scene_sharded(
+        scene, cam, cfg, make_mesh(8), use_fused=True
+    )
+    np.testing.assert_array_equal(single_fused, sharded_fused)
+    assert stats_f.segments == stats_sf.segments
+    sharded_xla, _ = render_scene_sharded(
+        scene, cam, cfg, make_mesh(8), use_fused=False
+    )
+    diff = np.abs(single_fused.astype(int) - sharded_xla.astype(int))
+    assert (diff > 2).mean() < 0.02  # float-reassociation pixels only
+
+
 def test_uneven_pixel_tiles(box):
     cam, scene = box
     # 16x16=256 pixels over 3 devices: 86/86/84 split exercises masking.

@@ -21,13 +21,17 @@ broadcasted FMA on (Rb, Kt) tiles — dense, exact f32, no memory randomness.
 Two implementations over one baked format:
 
 * ``nearest_hit_xla`` — lax.scan over tiles; correct everywhere (CPU tests,
-  shard_map), but materializes (R, Kt) intermediates to HBM.
-* ``nearest_hit_pallas`` — the production TPU kernel: a ray block lives in
-  VMEM, the triangle bank (13, Tp) lives in VMEM, the running nearest state
-  lives in output refs, and (Rb, Kt) intermediates never leave the chip.
-  Triangles are Morton-sorted at bake time so each Kt-tile is spatially
-  compact, and a per-tile AABB slab test against the ray block (with
-  distance culling vs. the running best) lets ``pl.when`` skip whole tiles.
+  shard_map), but materializes (R, Kt) intermediates to HBM.  This is the
+  non-TPU backend and the semantic oracle.
+* ``trace_emit_aux`` — the production TPU kernel (field-major: triangles on
+  sublanes, rays on lanes): the ray state lives in one (16, R) tensor, the
+  triangle bank (13, Tp) lives in VMEM (or streams from HBM for big
+  scenes), the running nearest state lives in output refs, and (Kt, Rb)
+  intermediates never leave the chip.  Triangles are Morton-sorted at bake
+  time so each Kt-tile is spatially compact, and a per-tile AABB slab test
+  against the ray block (with distance culling vs. the running best) lets
+  ``pl.when`` skip whole tiles.  (An earlier ray-major variant was removed
+  in round 2: the fused pipeline made it unreachable.)
 
 Brute force over (culled) triangle tiles trades FLOPs, which TPUs have in
 abundance, for memory randomness, which they punish.  Visibility equals the
@@ -48,7 +52,6 @@ import numpy as np
 MT_EPSILON = 1e-8
 INF = jnp.inf
 
-RAY_BLOCK = 256  # rays per Pallas program instance (ray-major kernel)
 TRI_TILE = 256  # triangles per inner tile / bbox granularity (lane-aligned)
 
 # tri_data row layout: 9 rows of M (row-major), 3 rows of c, 1 row of |n|²,
@@ -62,8 +65,12 @@ class MXUTriangles(NamedTuple):
 
     tri_data:  (13, Tp) f32 — transforms in Morton order; padding has
                |n|² = 0 which the det test culls unconditionally.
-    tile_bbox: (6, Tp / TRI_TILE) f32 — [minx..z, maxx..z] per tile, padded
-               tiles get an inverted (never-hit) box.
+    tile_bbox: (6, Tp / TRI_TILE) f32 — [minx..z, maxx..z] per tile.  Every
+               tile holds ≥1 real triangle (Tp rounds T up, so only the last
+               tile is partial) except in an empty scene, whose single
+               inverted box PASSES the slab test — harmless, because the
+               padding rows' |n|² = 0 makes the det cull reject every lane
+               (ADVICE.md r1: the box itself is NOT a never-hit box).
     perm:      (Tp,) int32 — Morton position → original unique triangle id.
     """
 
@@ -231,133 +238,18 @@ def nearest_hit_xla(tris: MXUTriangles, orig, direction, active, tile: int = TRI
     return best_t, best_i, best_u, best_v
 
 
-def _pallas_kernel(o_ref, d_ref, act_ref, tri_ref, bbox_ref, t_ref, i_ref, u_ref, v_ref):
-    """One ray block vs. all triangle tiles, everything VMEM-resident.
-
-    o/d: (Rb, 3) ray block; act: (Rb, 1) f32 alive mask;
-    tri: (13, Tp) VMEM; bbox: (6, Ntiles) in SMEM (scalar reads with a
-    dynamic tile index are only lane-alignment-free there);
-    outputs t/idx/u/v as (Rb, 1) blocks — Mosaic's legal shape for per-ray
-    scalars at this block size; the caller densifies them once.
-    """
-    Tp = tri_ref.shape[1]
-    num_tiles = Tp // TRI_TILE
-
-    t_ref[:, 0] = jnp.full((RAY_BLOCK,), INF, jnp.float32)
-    i_ref[:, 0] = jnp.zeros((RAY_BLOCK,), jnp.int32)
-    u_ref[:, 0] = jnp.zeros((RAY_BLOCK,), jnp.float32)
-    v_ref[:, 0] = jnp.zeros((RAY_BLOCK,), jnp.float32)
-
-    ox, oy, oz = o_ref[:, 0:1], o_ref[:, 1:2], o_ref[:, 2:3]
-    dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
-    inv_dx = 1.0 / dx[:, 0]
-    inv_dy = 1.0 / dy[:, 0]
-    inv_dz = 1.0 / dz[:, 0]
-    active = act_ref[:, 0] > 0.0
-
-    def tile_body(jt, _):
-        # --- block-level cull: any active ray hits this tile's AABB closer
-        # than its current best?
-        best = t_ref[:, 0]
-        tx1 = (bbox_ref[0, jt] - ox[:, 0]) * inv_dx
-        tx2 = (bbox_ref[3, jt] - ox[:, 0]) * inv_dx
-        ty1 = (bbox_ref[1, jt] - oy[:, 0]) * inv_dy
-        ty2 = (bbox_ref[4, jt] - oy[:, 0]) * inv_dy
-        tz1 = (bbox_ref[2, jt] - oz[:, 0]) * inv_dz
-        tz2 = (bbox_ref[5, jt] - oz[:, 0]) * inv_dz
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-            jnp.minimum(tz1, tz2),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-            jnp.maximum(tz1, tz2),
-        )
-        # NaN-robust conservative form: a 0·inf NaN (axis-parallel ray with
-        # origin on a slab plane) must NOT skip the tile, so express as
-        # miss-conditions whose NaN comparisons evaluate False.
-        box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
-        box_hit = active & ~box_miss
-
-        @pl.when(jnp.any(box_hit))
-        def _():
-            s = pl.multiple_of(jt * TRI_TILE, TRI_TILE)
-            rows = tri_ref[:, pl.ds(s, TRI_TILE)]
-            t, u, v, ok = _intersect_tile(ox, oy, oz, dx, dy, dz, rows)
-            t = jnp.where(ok, t, INF)
-            tile_min = jnp.min(t, axis=1)
-            ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            cand = jnp.min(jnp.where(t <= tile_min[:, None], ids, Tp), axis=1)
-            # Winner u,v via masked lane reductions — no per-row gather on
-            # TPU.  `sel` one-hots the winning lane of each row.
-            sel = ids == cand[:, None]
-            u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
-            v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
-            best_t = t_ref[:, 0]
-            better = tile_min < best_t
-            t_ref[:, 0] = jnp.where(better, tile_min, best_t)
-            i_ref[:, 0] = jnp.where(better, s + cand, i_ref[:, 0])
-            u_ref[:, 0] = jnp.where(better, u_sel, u_ref[:, 0])
-            v_ref[:, 0] = jnp.where(better, v_sel, v_ref[:, 0])
-
-        return 0
-
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
-
-
 # Deferred import so CPU-only environments can import this module header.
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def nearest_hit_pallas(tris: MXUTriangles, orig, direction, active, interpret=False):
-    """Production TPU path.  orig/direction (R, 3) with R % RAY_BLOCK == 0."""
-    R = orig.shape[0]
-    assert R % RAY_BLOCK == 0, f"ray wave {R} not a multiple of {RAY_BLOCK}"
-    nb = R // RAY_BLOCK
-    act = active.astype(jnp.float32)[:, None]
-
-    t, idx, u, v = pl.pallas_call(
-        _pallas_kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                tris.tri_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                tris.tile_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(orig, direction, act, tris.tri_data, tris.tile_bbox)
-    # Densify ONCE: the (R, 1) kernel outputs carry XLA's T(8, 128) tile
-    # layout (128× padding).  The barrier stops XLA from fusing the slice
-    # into every consumer, which would re-read the padded buffer each time
-    # (measured ~0.6 ms per touch at R = 0.5M).
-    t, idx, u, v = jax.lax.optimization_barrier((t[:, 0], idx[:, 0], u[:, 0], v[:, 0]))
-    return t, idx, u, v
-
-
 def nearest_hit_mxu(tris: MXUTriangles, orig, direction, active):
-    """Dispatch.  Returns (t, u, v, unique_tri_idx); winner u,v come out of
-    the kernels directly (masked lane reductions — no per-ray gather)."""
-    if jax.default_backend() == "tpu":
-        t, idx_m, u, v = nearest_hit_pallas(tris, orig, direction, active)
-    else:
-        t, idx_m, u, v = nearest_hit_xla(tris, orig, direction, active)
+    """Ray-major nearest hit over the XLA tile scan (non-fused fallback:
+    CPU tests, shard_map oracle).  On TPU the production path is the
+    field-major ``trace_emit_aux`` kernel driven by render/fused.py.
+    Returns (t, u, v, unique_tri_idx); inactive rays report t = inf."""
+    t, idx_m, u, v = nearest_hit_xla(tris, orig, direction, active)
+    t = jnp.where(active, t, INF)  # uniform miss-on-inactive contract
     hit = jnp.isfinite(t)
     u = jnp.where(hit, u, 0.0)
     v = jnp.where(hit, v, 0.0)

@@ -52,6 +52,7 @@ def make_mesh(num_devices: int | None = None) -> Mesh:
         "num_pixels",
         "pix_per_dev",
         "waves_per_dev",
+        "use_fused",
     ),
 )
 def _render_sharded(
@@ -71,6 +72,7 @@ def _render_sharded(
     num_pixels: int,
     pix_per_dev: int,
     waves_per_dev: int,
+    use_fused: bool | None = None,
 ):
     wave_pixels = wave_size // spp
 
@@ -81,6 +83,10 @@ def _render_sharded(
 
         def wave_body(w, carry):
             fb, segs = carry
+            # pix_wave/g_start in exact int32 — g_start of a far device tile
+            # of a large image exceeds f32's 2^24 integer range, so the
+            # pixel base is never derived from it in float (ADVICE.md r1).
+            pix_wave = (pix_base + w * wave_pixels).astype(jnp.int32)
             g_start = (g_base + w * wave_size).astype(jnp.int32)
             pixel, radiance, segments = render_wave(
                 scene,
@@ -94,6 +100,8 @@ def _render_sharded(
                 g_start,
                 wave_size,
                 base_key,
+                pix_base=pix_wave,
+                use_fused=use_fused,
             )
             # Scatter-free accumulation (see wavefront.accumulate_wave):
             # zero rays past this device's tile or the real image, sum the
@@ -121,9 +129,16 @@ def _render_sharded(
         mesh=mesh,
         in_specs=(scene_spec, P("tiles"), P(), P(), P(), P(), P()),
         out_specs=(P("tiles"), P("tiles")),
-        # The while_loop carries inside trace_wave start from constants and
-        # become device-varying on the first iteration; skip the static
-        # varying-axis check (the math is per-tile by construction).
+        # check_vma must stay off, precisely because every loop carry in the
+        # renderer (nearest_hit_xla's scan best-t/idx, trace_wave's
+        # while_loop state, wave_body's segment counter) initializes from
+        # literals: VMA types them "unvarying", the first iteration makes
+        # them device-varying, and jax raises "carry input and carry output
+        # must have equal types" (verified r2 with check_vma=True).  Seeding
+        # the carries from varying data would insert real ops in the hot
+        # loop just to satisfy the checker.  Correctness is pinned instead
+        # by tests/test_sharding.py: sharded output is bit-identical to
+        # single-device for both the XLA and fused pipelines.
         check_vma=False,
     )(scene, fb, cam_origin, cam_lower_left, cam_right, cam_up, base_key)
 
@@ -134,6 +149,7 @@ def render_scene_sharded(
     config: Config,
     mesh: Mesh | None = None,
     timers: PhaseTimers | None = None,
+    use_fused: bool | None = None,
 ):
     """Multi-device render; bit-identical to the single-device path."""
     timers = timers or PhaseTimers()
@@ -141,10 +157,10 @@ def render_scene_sharded(
     n = mesh.devices.size
     w, h, spp = camera.width, camera.height, config.num_samples
     num_pixels = w * h
-    if num_pixels >= 1 << 23:
+    if num_pixels * spp >= 1 << 31:
         raise ValueError(
-            f"image has {num_pixels} pixels; the renderer supports up to "
-            f"{(1 << 23) - 1} (just above 4K). Render in tiles instead."
+            f"{num_pixels} pixels × {spp} spp = {num_pixels * spp} rays "
+            f"exceeds the int32 ray-id space (2^31); reduce resolution or spp."
         )
     pix_per_dev = -(-num_pixels // n)
     rays_per_dev = pix_per_dev * spp
@@ -190,6 +206,7 @@ def render_scene_sharded(
             num_pixels=num_pixels,
             pix_per_dev=pix_per_dev,
             waves_per_dev=waves_per_dev,
+            use_fused=use_fused,
         )
         # Strip per-device padding, then global padding.
         fb_np = np.asarray(fb).reshape(n, fb_rows_per_dev, 3)[:, :pix_per_dev]

@@ -78,19 +78,21 @@ def render_scene(
     config: Config,
     timers: PhaseTimers | None = None,
     progressive_path: str | None = None,
+    use_fused: bool | None = None,
 ) -> tuple[np.ndarray, RenderStats]:
     """Render to an (h, w, 3) uint8 array, looping jitted waves on device."""
     timers = timers or PhaseTimers()
     w, h, spp = camera.width, camera.height, config.num_samples
     num_pixels = w * h
-    if num_pixels >= 1 << 23:
-        # The ray-id → pixel/x/y decomposition uses exact f32 math, valid
-        # for pixel ids below 2^23 (4K = 8.29M is within range).
-        raise ValueError(
-            f"image has {num_pixels} pixels; the renderer supports up to "
-            f"{(1 << 23) - 1} (just above 4K). Render in tiles instead."
-        )
     total_rays = num_pixels * spp
+    if total_rays >= 1 << 31:
+        # Global ray ids are int32 (pixel bases are exact int32; only the
+        # per-wave offsets use f32 math).  u16×u16 dims × sane spp fit:
+        # even 65535×65535 needs spp=1; 8K×8K at spp≤500 is fine.
+        raise ValueError(
+            f"{num_pixels} pixels × {spp} spp = {total_rays} rays exceeds "
+            f"the int32 ray-id space (2^31); reduce resolution or spp."
+        )
     # Waves are quantized to spp*256 rays: multiples of spp so every wave
     # covers whole pixels (scatter-free accumulation) and of 256 for the
     # Pallas ray blocks.  Padding rays of the final wave are masked.
@@ -132,6 +134,8 @@ def render_scene(
                 wave_size,
                 num_pixels,
                 base_key,
+                jnp.int32(wave * wave_pixels),
+                use_fused,
             )
             seg_parts.append(wave_segments)
             if (

@@ -150,6 +150,28 @@ def _exact_divmod_f32(g, d: int):
     return q, gf - q * d
 
 
+def wave_pixel_coords(local, spp, width: int, pix_base):
+    """(pixel int32, x f32, y f32) for wave-local ray ids.
+
+    ``pix_base`` (scalar int32, the wave's first pixel id) is split exactly
+    with ONE scalar integer divmod; the per-ray offsets — bounded by
+    wave_size/spp + width < 2^23 — use exact f32 math (hot int div is ~250×
+    slower on the VPU).  Exact for any pix_base < 2^31, i.e. images far past
+    4K and device tiles whose base exceeds f32's 2^24 integer range.
+    Pixel x/y follow the reference's row-major convention
+    (src/stage3.zig:234-235).
+    """
+    pix_base = jnp.asarray(pix_base, jnp.int32)
+    y_base = pix_base // width  # scalar, once per wave
+    x_base = pix_base - y_base * width
+    lp_f, _ = _exact_divmod_f32(local, spp)
+    pixel = pix_base + lp_f.astype(jnp.int32)
+    row_off = x_base.astype(jnp.float32) + lp_f
+    dy, x = _exact_divmod_f32(row_off, width)
+    y = y_base.astype(jnp.float32) + dy
+    return pixel, x, y
+
+
 def shade_and_scatter(scene: DeviceScene, orig, direction, t, u, v, tri, streams, bounce: int):
     """One shading round: texture fetch, alpha test, diffuse scatter.
 
@@ -204,11 +226,18 @@ def render_wave(
     g_start,
     wave_size: int,
     base_key,
+    pix_base=None,
+    use_fused: bool | None = None,
 ):
     """Path-trace one wave of global ray ids [g_start, g_start + wave_size).
 
     Global ray id g ↔ (pixel = g // spp, sample = g % spp); pixel x/y from
     the row-major index like the reference (src/stage3.zig:234-235).
+    ``pix_base`` is the exact int32 pixel id of the wave's first ray
+    (= g_start // spp; waves are pixel-aligned).  It is a separate argument
+    because g_start need not be f32-representable (sharded tiles of large
+    images exceed 2^24), while int32 is exact to 2^31 rays.  Defaults to
+    g_start // spp (one scalar int div per wave — cold).
     Returns (pixel_ids (R,), radiance (R, 3), segments (R,) int32) where
     segments counts traced path segments for the Mrays/s metric.
     """
@@ -217,14 +246,9 @@ def render_wave(
     g = g_start + local
     streams = rng.ray_streams(base_key, g)
 
-    # pixel/x/y without integer div: wave-local ids are < 2^23; the global
-    # pixel id is pix_base + local_pixel in int32; the x/y split runs on the
-    # full pixel id in f32 (exact for images up to ~8M pixels).
-    pix_base_f, _ = _exact_divmod_f32(g_start, spp)  # g_start % spp == 0
-    lp_f, _ = _exact_divmod_f32(local, spp)
-    pixel = pix_base_f.astype(jnp.int32) + lp_f.astype(jnp.int32)
-    _, x = _exact_divmod_f32(pixel, width)
-    y, _ = _exact_divmod_f32(pixel, width)
+    if pix_base is None:
+        pix_base = g_start // spp
+    pixel, x, y = wave_pixel_coords(local, spp, width, pix_base)
 
     jx, jy = rng.uniform2_soa(streams, 0)
 
@@ -237,14 +261,23 @@ def render_wave(
     alive = jnp.ones(R, dtype=bool)
     segments = jnp.zeros(R, dtype=jnp.int32)
 
-    use_fused = scene.mxu is not None and jax.default_backend() == "tpu"
+    # use_fused=None → auto: the fused Pallas pipeline on TPU, XLA shading
+    # elsewhere.  An explicit True forces the fused kernels (interpret mode
+    # off-TPU) so CPU tests can pin the exact production composition,
+    # including under shard_map.
+    if use_fused is None:
+        use_fused = scene.mxu is not None and jax.default_backend() == "tpu"
     if use_fused:
+        if scene.mxu is None:
+            raise ValueError("use_fused requires an MXU-baked scene")
         # Fully fused bounce (ops/mxu_intersect.trace_emit_aux +
         # render/fused.shade_fused): ray state is ONE field-major (16, R)
         # tensor flowing kernel-to-kernel; per bounce only the record and
         # texel gathers (+ transposes) run in XLA.
         from .fused import shade_fused
         from ..ops.mxu_intersect import trace_emit_aux
+
+        interpret = jax.default_backend() != "tpu"
 
         state = jnp.concatenate(
             [
@@ -259,8 +292,8 @@ def render_wave(
             axis=0,
         )
         for bounce in range(max_bounce):
-            aux, tri = trace_emit_aux(scene.mxu, state)
-            state = shade_fused(scene, state, aux, tri, bounce)
+            aux, tri = trace_emit_aux(scene.mxu, state, interpret=interpret)
+            state = shade_fused(scene, state, aux, tri, bounce, interpret=interpret)
         return pixel, state[9:12].T, state[14].astype(jnp.int32)
 
     radiance = jnp.zeros_like(direction)
@@ -292,7 +325,7 @@ def render_wave(
     return pixel, radiance, segments
 
 
-def accumulate_wave(framebuffer, pixel, radiance, segments, g_start, spp, num_pixels):
+def accumulate_wave(framebuffer, pixel, radiance, segments, pix_base, spp, num_pixels):
     """Regular-pattern accumulation: NO scatter (TPU scatters serialize).
 
     Waves are spp-aligned, so each pixel's spp samples are contiguous in
@@ -305,7 +338,7 @@ def accumulate_wave(framebuffer, pixel, radiance, segments, g_start, spp, num_pi
     in_range = pixel < num_pixels
     radiance = jnp.where(in_range[:, None], radiance, 0.0)
     sums = radiance.reshape(wp, spp, 3).sum(axis=1)
-    pix0 = g_start // spp
+    pix0 = jnp.asarray(pix_base, jnp.int32)
     cur = jax.lax.dynamic_slice(framebuffer, (pix0, 0), (wp, 3))
     framebuffer = jax.lax.dynamic_update_slice(framebuffer, cur + sums, (pix0, 0))
     wave_segments = jnp.sum(jnp.where(in_range, segments, 0), dtype=jnp.int32)
@@ -314,7 +347,7 @@ def accumulate_wave(framebuffer, pixel, radiance, segments, g_start, spp, num_pi
 
 @partial(
     jax.jit,
-    static_argnames=("width", "spp", "max_bounce", "wave_size", "num_pixels"),
+    static_argnames=("width", "spp", "max_bounce", "wave_size", "num_pixels", "use_fused"),
     donate_argnames=("framebuffer",),
 )
 def render_wave_accumulate(
@@ -331,6 +364,8 @@ def render_wave_accumulate(
     wave_size: int,
     num_pixels: int,
     base_key,
+    pix_base,
+    use_fused: bool | None = None,
 ):
     """Jitted wave render + accumulate into the padded framebuffer.
 
@@ -351,7 +386,9 @@ def render_wave_accumulate(
         g_start,
         wave_size,
         base_key,
+        pix_base=pix_base,
+        use_fused=use_fused,
     )
     return accumulate_wave(
-        framebuffer, pixel, radiance, segments, g_start, spp, num_pixels
+        framebuffer, pixel, radiance, segments, pix_base, spp, num_pixels
     )

@@ -80,6 +80,14 @@ def _desc_to_f32(desc_rows: np.ndarray) -> np.ndarray:
 
 
 def build_shade_table(geometry: GeometryArrays, materials: MaterialBank) -> np.ndarray:
+    if materials.color_data.shape[0] > 1 << 24:
+        # Texture descriptors ride the shade table as f32; offsets past 2^24
+        # would silently round to the wrong texel (ADVICE.md r1).
+        raise ValueError(
+            f"texel bank has {materials.color_data.shape[0]} texels; f32 "
+            f"descriptor offsets are exact only below 2^24 (~two 4K×4K "
+            f"textures). Reduce texture resolution."
+        )
     T = geometry.num_triangles
     table = np.zeros((T, SHADE_COLS), np.float32)
     table[:, COL_NRM : COL_NRM + 9] = geometry.normals.reshape(T, 9)

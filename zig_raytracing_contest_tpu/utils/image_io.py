@@ -56,8 +56,12 @@ def decode_image(data: bytes) -> DecodedImage:
         img = img.convert("RGBA" if has_alpha else "RGB")
     if img.mode in ("I", "I;16", "F"):
         # 16/32-bit single channel: stb reduces to 8-bit before ldr_to_hdr.
+        # PNG grayscale deeper than 8 bits is always 16-bit; Pillow opens it
+        # as "I;16" (newer) or "I" (older), so both scale by 257 — keying on
+        # the exact mode string saturated every >255 pixel to white on older
+        # Pillow (ADVICE.md r1).  "F" (float sources) is left unscaled.
         arr = np.asarray(img, dtype=np.float32)
-        scale = 257.0 if img.mode == "I;16" else 1.0
+        scale = 1.0 if img.mode == "F" else 257.0
         img = Image.fromarray(
             np.clip(arr / scale, 0, 255).astype(np.uint8), mode="L"
         )
