@@ -52,8 +52,15 @@ def _bits(streams, tag, word: int):
 
 
 def _u01(bits):
-    """uint32 → float32 in (0, 1): 24-bit mantissa, never exactly 0."""
-    return ((bits >> 8).astype(jnp.float32) + 0.5) * jnp.float32(1.0 / (1 << 24))
+    """uint32 → float32 in (0, 1): 24-bit mantissa, never exactly 0.
+
+    Routed through int32 (exact: the 24-bit value is int32-safe) because
+    Mosaic has no uint32→f32 cast — this single definition is shared by the
+    XLA path and the fused Pallas kernels (render/fused.py imports it).
+    """
+    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32) + 0.5) * jnp.float32(
+        1.0 / (1 << 24)
+    )
 
 
 def uniform(streams, tag: int):

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.rng import _bits, _u01
 from ..scene.types import COL_BASE_DESC, COL_EMIS_DESC, COL_NRM, COL_UV, DeviceScene
 
 # Rays per grid step (lane dimension).  Large to amortize the ~10 µs
@@ -47,29 +48,6 @@ from ..scene.types import COL_BASE_DESC, COL_EMIS_DESC, COL_NRM, COL_UV, DeviceS
 SHADE_BLOCK = 8192
 FLT_EPSILON = float(jnp.finfo(jnp.float32).eps)
 _TWO_PI = 6.283185307179586
-
-
-def _mix(x):
-    """lowbias32 finalizer — must match ops/rng.py exactly."""
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
-    return x
-
-
-def _bits(streams, tag: int, word: int):
-    t = jnp.uint32((tag * 2 + 1) & 0xFFFFFFFF)
-    w = jnp.uint32((word * 0x9E3779B9 + 0x6A09E667) & 0xFFFFFFFF)
-    return _mix(streams ^ (t * jnp.uint32(0xB5297A4D)) ^ w)
-
-
-def _u01(bits):
-    # Mosaic has no uint32→f32 cast; the 24-bit value is int32-safe.
-    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32) + 0.5) * jnp.float32(
-        1.0 / (1 << 24)
-    )
 
 
 def _texel_pair(c, size_f, lo_f, hi_f, is_repeat):
