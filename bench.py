@@ -101,6 +101,32 @@ def main() -> int:
             width=width, height=height,
         )
 
+    if "--cpu" in sys.argv:
+        # Reference-equivalent CPU baseline (native/cpu_tracer.cpp): the
+        # measured denominator for the "≥10× the CPU build" target
+        # (BASELINE.md).  Same scene, same workload, all host cores.
+        import os
+
+        from zig_raytracing_contest_tpu.render.native_cpu import render_cpu
+
+        render_cpu(scene, camera, spp=1, max_bounce=1)  # warm build/pages
+        _, segments, seconds = render_cpu(
+            scene, camera, spp=config.num_samples, max_bounce=config.max_bounce
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "cpu_Mrays/s",
+                    "value": round(segments / seconds / 1e6, 3),
+                    "unit": "Mrays/s",
+                    "threads": os.cpu_count(),
+                    "segments": segments,
+                    "seconds": round(seconds, 3),
+                }
+            )
+        )
+        return 0
+
     # Warmup at identical shapes: excludes XLA compile from the timing.
     warm_cfg = Config(
         grid_resolution=config.grid_resolution, num_samples=config.num_samples,
