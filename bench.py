@@ -82,11 +82,114 @@ def build_bench_scene(path: Path, num_objects: int = 200, seed: int = 42):
     return b.write_gltf(path)
 
 
+def build_large_scene(path: Path, side: int = 224, seed: int = 7):
+    """~100k-triangle enclosed scene: a finely tessellated terrain inside a
+    lit room — Sponza-class triangle count with realistic occupancy (most
+    rays hit geometry; bounce rays are incoherent)."""
+    import numpy as np
+
+    from zig_raytracing_contest_tpu.scene.procedural import SceneBuilder, quad
+
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+
+    checker = np.zeros((8, 8, 4), np.uint8)
+    checker[::2, ::2] = checker[1::2, 1::2] = [210, 210, 210, 255]
+    checker[::2, 1::2] = checker[1::2, ::2] = [60, 60, 90, 255]
+    terrain_mat = b.add_material(
+        base_color_texture=b.add_texture(b.add_image_png(checker))
+    )
+    wall = b.add_material(base_color_factor=(0.6, 0.6, 0.65, 1.0))
+    light = b.add_material(base_color_factor=(0, 0, 0, 1), emissive_factor=(8, 8, 8))
+
+    # Terrain: (side)x(side) quads -> 2*side^2 triangles (224 -> 100,352).
+    n = side + 1
+    xs = np.linspace(-10, 10, n, dtype=np.float32)
+    zs = np.linspace(-10, 10, n, dtype=np.float32)
+    xg, zg = np.meshgrid(xs, zs)
+    y = (
+        1.2 * np.sin(xg * 0.9) * np.cos(zg * 0.7)
+        + 0.35 * np.sin(xg * 3.1 + 1.0) * np.sin(zg * 2.7)
+        + rng.normal(0, 0.02, xg.shape)
+    ).astype(np.float32)
+    pos = np.stack([xg, y, zg], axis=-1).reshape(-1, 3)
+    idx = []
+    for j in range(side):
+        for i in range(side):
+            a = j * n + i
+            idx += [a, a + n, a + 1, a + 1, a + n, a + n + 1]
+    idx = np.asarray(idx, np.uint32)
+    tri = idx.reshape(-1, 3)
+    fn = np.cross(pos[tri[:, 1]] - pos[tri[:, 0]], pos[tri[:, 2]] - pos[tri[:, 0]])
+    nrm = np.zeros_like(pos)
+    for k in range(3):
+        np.add.at(nrm, tri[:, k], fn)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    uv = np.stack(
+        [(xg + 10) / 20 * 16, (zg + 10) / 20 * 16], axis=-1
+    ).reshape(-1, 2).astype(np.float32)
+    b.add_mesh_node(
+        pos, idx, terrain_mat, normals=nrm, texcoords=uv, index_dtype=np.uint32
+    )
+
+    S = 11.0
+    for center, uax, vax, mat in [
+        ((0, 7, 0), (S, 0, 0), (0, 0, S), light),      # ceiling light
+        ((0, 0, -S), (S, 0, 0), (0, 7, 0), wall),      # walls
+        ((0, 0, S), (-S, 0, 0), (0, 7, 0), wall),
+        ((-S, 0, 0), (0, 0, S), (0, 7, 0), wall),
+        ((S, 0, 0), (0, 0, -S), (0, 7, 0), wall),
+    ]:
+        p, i2, n2, t2 = quad(center, uax, vax)
+        b.add_mesh_node(p, i2, mat, normals=n2, texcoords=t2)
+
+    b.add_camera_node((0, 4.5, 9.5), (0, 0.5, 0), yfov=0.9, name="Camera 1")
+    return b.write_gltf(path)
+
+
+def run_large() -> int:
+    """--large: 100k-triangle throughput (HBM-streaming trace kernel)."""
+    from zig_raytracing_contest_tpu.config import Config
+    from zig_raytracing_contest_tpu.render.pipeline import prepare_scene, render_scene
+
+    width, height = 1280, 720
+    config = Config(
+        grid_resolution=(128, 128, 128), num_samples=2, max_bounce=3,
+        wave_size=1 << 18,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        scene_path = build_large_scene(Path(d) / "large.gltf")
+        scene, camera, _ = prepare_scene(
+            str(scene_path), config, camera_name="Camera 1",
+            width=width, height=height,
+        )
+    render_scene(scene, camera, config)  # warmup/compile
+    t0 = time.perf_counter()
+    _, stats = render_scene(scene, camera, config)
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "large_Mrays/s",
+                "value": round(stats.segments / wall / 1e6, 3),
+                "unit": "Mrays/s",
+                "triangles": 2 * 224 * 224 + 10,
+                "segments": stats.segments,
+                "seconds": round(wall, 3),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     import jax
 
     from zig_raytracing_contest_tpu.config import Config
     from zig_raytracing_contest_tpu.render.pipeline import prepare_scene, render_scene
+
+    if "--large" in sys.argv:
+        return run_large()
 
     width, height = 1920, 1080
     config = Config(

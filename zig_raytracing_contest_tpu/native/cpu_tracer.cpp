@@ -228,7 +228,7 @@ inline bool trace(const Scene& s, V3 o, V3 d, Hit* hit) {
 }
 
 // shade_table column layout (scene/types.py)
-constexpr int kColNrm = 0, kColUv = 9, kColBase = 15, kColEmis = 22;
+constexpr int kColNrm = 0, kColUv = 9, kColBase = 15, kColEmis = 23;
 
 }  // namespace
 

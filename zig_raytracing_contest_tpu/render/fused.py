@@ -110,13 +110,14 @@ def _prep_body(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
     svec_ref[2, :] = nz
     svec_ref[3, :] = jnp.abs(tc_u - jnp.trunc(tc_u))
     svec_ref[4, :] = jnp.abs(tc_v - jnp.trunc(tc_v))
-    svec_ref[5, :] = tc_u
-    svec_ref[6, :] = tc_v
+    # u16 dequant multipliers of the two textures (scene/types.py DESC_SCALE)
+    svec_ref[5, :] = rec(COL_BASE_DESC + 7)
+    svec_ref[6, :] = rec(COL_EMIS_DESC + 7)
     svec_ref[7, :] = jnp.zeros_like(tc_u)
 
 
 def _make_shade_kernel(bounce: int, emissive_dummy: bool):
-    tex_stride = 5 if emissive_dummy else 8
+    n_texels = 5 if emissive_dummy else 8
 
     def _shade_kernel(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref):
         t = aux_ref[2, :]
@@ -127,27 +128,56 @@ def _make_shade_kernel(bounce: int, emissive_dummy: bool):
         fu = svec_ref[3, :]
         fv = svec_ref[4, :]
 
-        def bilinear(channel, t0):
-            """Combine texels t0..t0+3 of a channel (row = channel*stride + texel)."""
-            base = channel * tex_stride + t0
-            r1 = tex_ref[base + 0, :] * (1.0 - fu) + tex_ref[base + 1, :] * fu
-            r2 = tex_ref[base + 2, :] * (1.0 - fu) + tex_ref[base + 3, :] * fu
+        # tex_ref is the u16×2-packed bank gather: (2*n_texels, R) uint32,
+        # row = half*n_texels + texel; half 0 = R|G<<16, half 1 = B|A<<16.
+        # Dequantize each texel channel FIRST (f32(u16) * scale — the exact
+        # f32 product the bank bakes, materials._quantize_bank), then
+        # bilinear in the same order as ops/texture.py: bit-identical to the
+        # XLA path, with half the gathered elements.
+        def dequant4(texel, scale):
+            lo = tex_ref[texel, :]
+            hi = tex_ref[n_texels + texel, :]
+            return (
+                (lo & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * scale,
+                (lo >> 16).astype(jnp.int32).astype(jnp.float32) * scale,
+                (hi & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * scale,
+                (hi >> 16).astype(jnp.int32).astype(jnp.float32) * scale,
+            )
+
+        base_scale = svec_ref[5, :]
+        emis_scale = svec_ref[6, :]
+        p11 = dequant4(0, base_scale)
+        p21 = dequant4(1, base_scale)
+        p12 = dequant4(2, base_scale)
+        p22 = dequant4(3, base_scale)
+
+        def bilinear(c):
+            r1 = p11[c] * (1.0 - fu) + p21[c] * fu
+            r2 = p12[c] * (1.0 - fu) + p22[c] * fu
             return r1 * (1.0 - fv) + r2 * fv
 
-        ar = bilinear(0, 0)
-        ag = bilinear(1, 0)
-        ab = bilinear(2, 0)
-        opacity = bilinear(3, 0)
+        ar = bilinear(0)
+        ag = bilinear(1)
+        ab = bilinear(2)
+        opacity = bilinear(3)
         if emissive_dummy:
             # single dummy texel per channel (a bilinear of four identical
             # texels equals the texel up to one rounding)
-            er = tex_ref[0 * tex_stride + 4, :]
-            eg = tex_ref[1 * tex_stride + 4, :]
-            eb = tex_ref[2 * tex_stride + 4, :]
+            er, eg, eb, _ = dequant4(4, emis_scale)
         else:
-            er = bilinear(0, 4)
-            eg = bilinear(1, 4)
-            eb = bilinear(2, 4)
+            e11 = dequant4(4, emis_scale)
+            e21 = dequant4(5, emis_scale)
+            e12 = dequant4(6, emis_scale)
+            e22 = dequant4(7, emis_scale)
+
+            def ebil(c):
+                r1 = e11[c] * (1.0 - fu) + e21[c] * fu
+                r2 = e12[c] * (1.0 - fu) + e22[c] * fu
+                return r1 * (1.0 - fv) + r2 * fv
+
+            er = ebil(0)
+            eg = ebil(1)
+            eb = ebil(2)
 
         # stochastic alpha + diffuse scatter randomness (matches ops/rng.py)
         rnd = _u01(_bits(streams, 2 * bounce + 1, 0))
@@ -270,19 +300,21 @@ def shade_fused(
         interpret=interpret,
     )(rec, aux)
 
-    # ONE wide texel gather along the transposed bank's ray axis:
-    # (4, P) taken at (8, Rp) indices → (4, 8, Rp) → reshape (32, Rp) with
-    # row = channel*8 + texel, no transpose.  Padding rows hit texel 0 —
-    # harmless, masked by alive=0.
+    # ONE wide texel gather along the packed bank's ray axis:
+    # (2, P) u16×2 uint32 taken at (n_texels, Rp) indices → (2, n, Rp) →
+    # reshape (2n, Rp) with row = half*n + texel, no transpose.  HALF the
+    # gathered elements of the f32 bank (the profiled #1 cost); the shade
+    # kernel dequantizes.  Padding rows hit texel 0 — harmless, masked by
+    # alive=0.
     n_texels = 5 if emissive_dummy else 8
-    texels = jnp.take(scene.color_data_t, tex_idx[:n_texels], axis=1).reshape(
-        4 * n_texels, Rp
+    texels = jnp.take(scene.color_packed_t, tex_idx[:n_texels], axis=1).reshape(
+        2 * n_texels, Rp
     )
 
     new_state = pl.pallas_call(
         _make_shade_kernel(bounce, emissive_dummy),
         grid=(nb,),
-        in_specs=[_rspec(8), _rspec(8), _rspec(4 * n_texels), _rspec(16)],
+        in_specs=[_rspec(8), _rspec(8), _rspec(2 * n_texels), _rspec(16)],
         out_specs=_rspec(16),
         out_shape=jax.ShapeDtypeStruct((16, Rp), jnp.float32),
         interpret=interpret,

@@ -25,7 +25,12 @@ from ..scene.materials import load_materials
 from ..scene.types import DeviceScene, build_device_scene
 from ..utils.image_io import write_png
 from ..utils.timing import PhaseTimers
-from .wavefront import render_wave_accumulate
+from .wavefront import render_frame_chunk, render_wave_accumulate
+
+# Waves per device call when the frame renders as fori_loop chunks: bounds a
+# single call's device time (long-running calls can crash the TPU worker)
+# while amortizing dispatch overhead across the chunk.
+WAVES_PER_CALL = 64
 
 log = logging.getLogger("zig_raytracing_contest_tpu")
 
@@ -118,8 +123,33 @@ def render_scene(
     fb = jnp.zeros((fb_rows, 3), jnp.float32)
     seg_parts = []  # device scalars; converting per-wave would force a sync
 
+    progressive = progressive_path and config.progressive_every
+
     with timers.phase("render", "Rendered"):
-        for wave in range(num_waves):
+        if not progressive:
+            # Whole-frame path: fori_loop chunks, one device call per chunk
+            # (the per-wave Python dispatch gap was ~29 ms/wave on v5e).
+            for start in range(0, num_waves, WAVES_PER_CALL):
+                chunk = min(WAVES_PER_CALL, num_waves - start)
+                fb, segs = render_frame_chunk(
+                    scene,
+                    fb,
+                    cam_origin,
+                    cam_llc,
+                    cam_right,
+                    cam_up,
+                    w,
+                    spp,
+                    config.max_bounce,
+                    wave_size,
+                    num_pixels,
+                    chunk,
+                    jnp.int32(start),
+                    base_key,
+                    use_fused,
+                )
+                seg_parts.append(segs)
+        for wave in range(num_waves if progressive else 0):
             fb, wave_segments = render_wave_accumulate(
                 scene,
                 fb,

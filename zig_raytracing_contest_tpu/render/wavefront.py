@@ -184,11 +184,13 @@ def shade_and_scatter(scene: DeviceScene, orig, direction, t, u, v, tri, streams
 
     # ONE fat gather per ray: normals + uvs + both texture descriptors
     # (scene/types.py shade_table layout).
+    from ..scene.types import COL_BASE_DESC, COL_EMIS_DESC
+
     rec = scene.shade_table[tri]  # (R, 32)
     tri_nrm = rec[:, 0:9].reshape(-1, 3, 3)
     tri_uv = rec[:, 9:15].reshape(-1, 3, 2)
-    base_desc = rec[:, 15:22]
-    emis_desc = rec[:, 22:29]
+    base_desc = rec[:, COL_BASE_DESC : COL_BASE_DESC + 7]
+    emis_desc = rec[:, COL_EMIS_DESC : COL_EMIS_DESC + 7]
 
     texcoord = _interpolate(tri_uv, u, v)
     tc_u, tc_v = texcoord[:, 0], texcoord[:, 1]
@@ -343,6 +345,69 @@ def accumulate_wave(framebuffer, pixel, radiance, segments, pix_base, spp, num_p
     framebuffer = jax.lax.dynamic_update_slice(framebuffer, cur + sums, (pix0, 0))
     wave_segments = jnp.sum(jnp.where(in_range, segments, 0), dtype=jnp.int32)
     return framebuffer, wave_segments
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "spp", "max_bounce", "wave_size", "num_pixels", "num_waves",
+        "use_fused",
+    ),
+    donate_argnames=("framebuffer",),
+)
+def render_frame_chunk(
+    scene: DeviceScene,
+    framebuffer,
+    cam_origin,
+    cam_lower_left,
+    cam_right,
+    cam_up,
+    width: int,
+    spp: int,
+    max_bounce: int,
+    wave_size: int,
+    num_pixels: int,
+    num_waves: int,
+    start_wave,
+    base_key,
+    use_fused: bool | None = None,
+):
+    """``num_waves`` waves in ONE device call via lax.fori_loop.
+
+    The per-wave Python dispatch (profiled ~29 ms host gap per 0.5M-ray
+    wave, docs/PERFORMANCE.md) disappears: the whole frame — or a bounded
+    chunk of it, so a single device call can't run away on huge frames —
+    is one XLA program, like the sharded path's per-device wave loop.
+    Returns (framebuffer, segments int32).
+    """
+    wave_pixels = wave_size // spp
+
+    def body(wv, carry):
+        fb, segs = carry
+        wave = start_wave + wv
+        pixel, radiance, segments = render_wave(
+            scene,
+            cam_origin,
+            cam_lower_left,
+            cam_right,
+            cam_up,
+            width,
+            spp,
+            max_bounce,
+            (wave * wave_size).astype(jnp.int32),
+            wave_size,
+            base_key,
+            pix_base=(wave * wave_pixels).astype(jnp.int32),
+            use_fused=use_fused,
+        )
+        fb, wave_segs = accumulate_wave(
+            fb, pixel, radiance, segments, wave * wave_pixels, spp, num_pixels
+        )
+        return fb, segs + wave_segs
+
+    return jax.lax.fori_loop(
+        0, num_waves, body, (framebuffer, jnp.int32(0))
+    )
 
 
 @partial(

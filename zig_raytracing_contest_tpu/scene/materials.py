@@ -48,10 +48,41 @@ class MaterialBank:
     color_desc: np.ndarray  # (N, 7) int32
     mat_base: np.ndarray  # (M,) int32 → color_desc row (albedo + opacity)
     mat_emissive: np.ndarray  # (M,) int32 → color_desc row
+    # u16 quantization twins (see _quantize_bank): color_data ==
+    # color_u16 * color_scale[desc] exactly, in f32 arithmetic.
+    color_u16: np.ndarray | None = None  # (P, 4) uint16
+    color_scale: np.ndarray | None = None  # (N,) f32 dequant multiplier
 
     @property
     def num_materials(self) -> int:
         return self.mat_base.shape[0]
+
+
+def _quantize_bank(color_data: np.ndarray, color_desc: np.ndarray):
+    """Quantize every texture entry to u16 × per-entry scale, in place.
+
+    The TPU fused pipeline gathers texels as TWO u16-packed uint32 rows
+    instead of four f32 rows (texel gathers are the profiled #1 cost,
+    docs/PERFORMANCE.md); the f32 bank is rewritten to the dequantized
+    values so every backend (XLA, Pallas, native C++) samples bit-identical
+    texels.  Sources are 8-bit LDR (stb loadf semantics), so 16-bit
+    relative-to-max quantization is far below the source's own precision.
+    Texels are clamped at 0 (glTF factors and decoded colors are
+    non-negative).
+    """
+    color_u16 = np.zeros(color_data.shape, np.uint16)
+    color_scale = np.ones(len(color_desc), np.float32)
+    for i, d in enumerate(color_desc):
+        sl = slice(int(d[0]), int(d[0]) + int(d[1]) * int(d[2]))
+        texels = np.maximum(color_data[sl], 0.0).astype(np.float32)
+        peak = float(texels.max()) if texels.size else 0.0
+        qs = np.float32(peak if peak > 0 else 1.0) / np.float32(65535.0)
+        halfs = np.clip(np.rint(texels / qs), 0, 65535).astype(np.uint16)
+        color_u16[sl] = halfs
+        # EXACTLY the dequant the fused kernel performs: f32(u16) * qs.
+        color_data[sl] = halfs.astype(np.float32) * qs
+        color_scale[i] = qs
+    return color_u16, color_scale
 
 
 def _wrap_ranges(gltf, texture: dict, w: int, h: int) -> tuple[int, int, int, int]:
@@ -166,9 +197,12 @@ def load_materials(gltf) -> MaterialBank:
         mat_emissive.append(_emissive_entry(bank, gltf, material))
 
     color_data, color_desc = bank.finish()
+    color_u16, color_scale = _quantize_bank(color_data, color_desc)
     return MaterialBank(
         color_data=color_data,
         color_desc=color_desc,
         mat_base=np.asarray(mat_base or [0], np.int32),
         mat_emissive=np.asarray(mat_emissive or [0], np.int32),
+        color_u16=color_u16,
+        color_scale=color_scale,
     )

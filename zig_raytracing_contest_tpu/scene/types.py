@@ -38,8 +38,9 @@ MXU_BACKEND_MAX_TRIANGLES = 1 << 21
 # shade_table column layout
 COL_NRM = 0  # 9 cols: 3 vertices × xyz (world, normalized)
 COL_UV = 9  # 6 cols: 3 vertices × uv
-COL_BASE_DESC = 15  # 7 cols: base-color descriptor (f32-encoded)
-COL_EMIS_DESC = 22  # 7 cols: emissive descriptor
+COL_BASE_DESC = 15  # 8 cols: base-color descriptor (f32-encoded) + dequant scale
+COL_EMIS_DESC = 23  # 8 cols: emissive descriptor + dequant scale
+DESC_SCALE = 7  # descriptor col: u16 dequant multiplier (texture peak / 65535)
 SHADE_COLS = 32  # padded for tiling
 
 _DESC_SENTINEL = float(1 << 30)
@@ -67,6 +68,11 @@ class DeviceScene(NamedTuple):
     # shade_table_t is (32, Tp) in Morton order; color_data_t is (4, P).
     shade_table_t: jnp.ndarray | None = None
     color_data_t: jnp.ndarray | None = None
+    # u16×2-packed texel bank (2, P) uint32: row 0 = R | G<<16, row 1 =
+    # B | A<<16.  The fused texel gather moves HALF the elements of the f32
+    # bank; the shade kernel dequantizes with the descriptor's scale,
+    # bit-identical to the f32 bank by construction (materials._quantize_bank).
+    color_packed_t: jnp.ndarray | None = None
     # Static marker (None vs present IS the flag — pytree structure, so the
     # fused pipeline can branch on it at trace time): present when every
     # material's emissive entry is a 1×1 dummy (factor only), letting the
@@ -93,10 +99,17 @@ def build_shade_table(geometry: GeometryArrays, materials: MaterialBank) -> np.n
     table[:, COL_NRM : COL_NRM + 9] = geometry.normals.reshape(T, 9)
     table[:, COL_UV : COL_UV + 6] = geometry.texcoords.reshape(T, 6)
     mat = geometry.material_idx
-    base_desc = _desc_to_f32(materials.color_desc[materials.mat_base[mat]])
-    emis_desc = _desc_to_f32(materials.color_desc[materials.mat_emissive[mat]])
-    table[:, COL_BASE_DESC : COL_BASE_DESC + 7] = base_desc
-    table[:, COL_EMIS_DESC : COL_EMIS_DESC + 7] = emis_desc
+    base = materials.mat_base[mat]
+    emis = materials.mat_emissive[mat]
+    table[:, COL_BASE_DESC : COL_BASE_DESC + 7] = _desc_to_f32(
+        materials.color_desc[base]
+    )
+    table[:, COL_EMIS_DESC : COL_EMIS_DESC + 7] = _desc_to_f32(
+        materials.color_desc[emis]
+    )
+    if materials.color_scale is not None:
+        table[:, COL_BASE_DESC + DESC_SCALE] = materials.color_scale[base]
+        table[:, COL_EMIS_DESC + DESC_SCALE] = materials.color_scale[emis]
     return table
 
 
@@ -161,6 +174,20 @@ def build_device_scene(
         color_data_t=(
             jnp.asarray(np.ascontiguousarray(materials.color_data.T), jnp.float32)
             if mxu is not None
+            else None
+        ),
+        color_packed_t=(
+            jnp.asarray(
+                np.stack(
+                    [
+                        materials.color_u16[:, 0].astype(np.uint32)
+                        | (materials.color_u16[:, 1].astype(np.uint32) << 16),
+                        materials.color_u16[:, 2].astype(np.uint32)
+                        | (materials.color_u16[:, 3].astype(np.uint32) << 16),
+                    ]
+                )
+            )
+            if mxu is not None and materials.color_u16 is not None
             else None
         ),
         emissive_all_dummy=(
