@@ -60,23 +60,32 @@ _ROWS = 13
 _BANK_ROWS = 16
 
 
+GROUP_TILES = 8  # tiles per second-level cull group (bbox in SMEM)
+
+
 class MXUTriangles(NamedTuple):
     """Baked, Morton-sorted triangle bank (padded to a TRI_TILE multiple).
 
-    tri_data:  (13, Tp) f32 — transforms in Morton order; padding has
+    tri_data:  (13, Tp) f32 — transforms in Morton order, padded to whole
+               GROUP_TILES quanta (DMA slices stay in-bounds); padding has
                |n|² = 0 which the det test culls unconditionally.
-    tile_bbox: (6, Tp / TRI_TILE) f32 — [minx..z, maxx..z] per tile.  Every
-               tile holds ≥1 real triangle (Tp rounds T up, so only the last
-               tile is partial) except in an empty scene, whose single
-               inverted box PASSES the slab test — harmless, because the
-               padding rows' |n|² = 0 makes the det cull reject every lane
-               (ADVICE.md r1: the box itself is NOT a never-hit box).
+    tile_bbox: (6, ceil(T / TRI_TILE)) f32 — [minx..z, maxx..z] per REAL
+               tile only.  The kernels take their loop bounds from this
+               shape, so fully-padded tiles are never visited (an inverted
+               empty-tile box PASSES the slab test — sweeping them cost 60%
+               extra tile work on small scenes before r2 sized this to real
+               tiles).
     perm:      (Tp,) int32 — Morton position → original unique triangle id.
+    group_bbox: (6, ceil(real_tiles / GROUP_TILES)) f32 — second-level
+               AABBs over GROUP_TILES consecutive real tiles; a culled
+               group skips its tiles' slab tests AND (in the streaming
+               kernel) their DMAs.
     """
 
     tri_data: jnp.ndarray
     tile_bbox: jnp.ndarray
     perm: jnp.ndarray
+    group_bbox: jnp.ndarray
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
@@ -122,15 +131,17 @@ def bake_triangles(
     M = np.stack([r_u, r_v, r_w], axis=1)  # (T, 3, 3)
     c = -np.einsum("tak,tk->ta", M, v0)  # (T, 3)
 
-    Tp = -(-max(T, 1) // tile) * tile
+    quantum = tile * GROUP_TILES  # whole cull groups (see MXUTriangles)
+    Tp = -(-max(T, 1) // quantum) * quantum
     tri_data = np.zeros((_BANK_ROWS, Tp), np.float32)
     tri_data[0:9, :T] = M.reshape(T, 9).T.astype(np.float32)
     tri_data[9:12, :T] = c.T.astype(np.float32)
     tri_data[12, :T] = n_sq.astype(np.float32)
 
-    # Per-tile AABBs over the three vertices of each member triangle.
+    # Per-REAL-tile AABBs over the three vertices of each member triangle
+    # (kernel loop bounds come from this shape; padded tiles never visited).
     verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (T, 3, 3)
-    num_tiles = Tp // tile
+    num_tiles = -(-max(T, 1) // tile)
     tile_bbox = np.zeros((6, num_tiles), np.float32)
     tile_bbox[0:3] = np.float32(np.inf)
     tile_bbox[3:6] = -np.float32(np.inf)
@@ -141,12 +152,23 @@ def bake_triangles(
             tile_bbox[0:3, ti] = flat.min(axis=0)
             tile_bbox[3:6, ti] = flat.max(axis=0)
 
+    num_groups = -(-num_tiles // GROUP_TILES)
+    group_bbox = np.zeros((6, num_groups), np.float32)
+    g_pad = np.full((6, num_groups * GROUP_TILES), np.nan, np.float32)
+    g_pad[0:3] = np.float32(np.inf)
+    g_pad[3:6] = -np.float32(np.inf)
+    g_pad[:, :num_tiles] = tile_bbox
+    g_tiles = g_pad.reshape(6, num_groups, GROUP_TILES)
+    group_bbox[0:3] = g_tiles[0:3].min(axis=2)
+    group_bbox[3:6] = g_tiles[3:6].max(axis=2)
+
     perm = np.zeros(Tp, np.int32)
     perm[:T] = order.astype(np.int32)
     return MXUTriangles(
         tri_data=jnp.asarray(tri_data),
         tile_bbox=jnp.asarray(tile_bbox),
         perm=jnp.asarray(perm),
+        group_bbox=jnp.asarray(group_bbox),
     )
 
 
@@ -333,10 +355,8 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref):
     idx_ref[0, :] = jnp.where(better, s + cand, idx_ref[0, :])
 
 
-def _trace_kernel_t(state_ref, tri_ref, bbox_ref, aux_ref, idx_ref):
-    Tp = tri_ref.shape[1]
-    num_tiles = Tp // TRI_TILE_T
-
+def _init_trace_refs(state_ref, aux_ref, idx_ref):
+    """Shared kernel prologue: ray fields, inverse dirs, output init."""
     ox = state_ref[0, :]
     oy = state_ref[1, :]
     oz = state_ref[2, :]
@@ -344,9 +364,7 @@ def _trace_kernel_t(state_ref, tri_ref, bbox_ref, aux_ref, idx_ref):
     dy = state_ref[4, :]
     dz = state_ref[5, :]
     active = state_ref[12, :] > 0.0
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
-    inv_dz = 1.0 / dz
+    inv = (1.0 / dx, 1.0 / dy, 1.0 / dz)
 
     aux_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)  # u
     aux_ref[1, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)  # v
@@ -357,15 +375,50 @@ def _trace_kernel_t(state_ref, tri_ref, bbox_ref, aux_ref, idx_ref):
     aux_ref[6, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
     aux_ref[7, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
     idx_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.int32)
+    return (ox, oy, oz), (dx, dy, dz), inv, active
 
-    def tile_body(jt, _):
-        best = aux_ref[2, :]
-        tx1 = (bbox_ref[0, jt] - ox) * inv_dx
-        tx2 = (bbox_ref[3, jt] - ox) * inv_dx
-        ty1 = (bbox_ref[1, jt] - oy) * inv_dy
-        ty2 = (bbox_ref[4, jt] - oy) * inv_dy
-        tz1 = (bbox_ref[2, jt] - oz) * inv_dz
-        tz2 = (bbox_ref[5, jt] - oz) * inv_dz
+
+def _cull_any(bbox_ref, j, o, inv, best, active):
+    """True iff any active ray's slab test against box column ``j`` passes
+    closer than its running best.  NaN-robust conservative form: a 0·inf NaN
+    (axis-parallel ray with origin on a slab plane) must NOT skip the box,
+    so the miss conditions are comparisons a NaN evaluates False."""
+    tx1 = (bbox_ref[0, j] - o[0]) * inv[0]
+    tx2 = (bbox_ref[3, j] - o[0]) * inv[0]
+    ty1 = (bbox_ref[1, j] - o[1]) * inv[1]
+    ty2 = (bbox_ref[4, j] - o[1]) * inv[1]
+    tz1 = (bbox_ref[2, j] - o[2]) * inv[2]
+    tz2 = (bbox_ref[5, j] - o[2]) * inv[2]
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+        jnp.minimum(tz1, tz2),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+        jnp.maximum(tz1, tz2),
+    )
+    box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
+    return jnp.any(active & ~box_miss)
+
+
+DIST_BINS = 16  # front-to-back group ordering granularity
+
+
+def _group_distance_pass(gbox_ref, num_groups, o, inv, active, tmin_ref):
+    """Pass 1 of front-to-back traversal: per group, the block-level entry
+    distance (min over active rays of the slab entry t, clamped ≥ 0) into
+    SMEM; +inf when no active ray hits the group at all.  Returns (lo, hi)
+    over the finite entries.  NaN slab results (origin on a plane) map to
+    0 — processed first, never skipped."""
+
+    def body(g, carry):
+        lo, hi = carry
+        tx1 = (gbox_ref[0, g] - o[0]) * inv[0]
+        tx2 = (gbox_ref[3, g] - o[0]) * inv[0]
+        ty1 = (gbox_ref[1, g] - o[1]) * inv[1]
+        ty2 = (gbox_ref[4, g] - o[1]) * inv[1]
+        tz1 = (gbox_ref[2, g] - o[2]) * inv[2]
+        tz2 = (gbox_ref[5, g] - o[2]) * inv[2]
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
             jnp.minimum(tz1, tz2),
@@ -374,54 +427,114 @@ def _trace_kernel_t(state_ref, tri_ref, bbox_ref, aux_ref, idx_ref):
             jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
             jnp.maximum(tz1, tz2),
         )
-        # NaN-robust conservative cull (see _pallas_kernel above).
-        box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
-        box_hit = active & ~box_miss
+        box_miss = (tmin > tmax) | (tmax <= 0.0)
+        entry = jnp.where(
+            active & ~box_miss,
+            jnp.where(tmin >= 0.0, tmin, 0.0),  # NaN → 0 (front bin)
+            INF,
+        )
+        bt = jnp.min(entry)
+        tmin_ref[g] = bt
+        lo = jnp.minimum(lo, bt)
+        hi = jnp.maximum(hi, jnp.where(bt < INF, bt, -INF))
+        return lo, hi
 
-        @pl.when(jnp.any(box_hit))
+    return jax.lax.fori_loop(0, num_groups, body, (INF, -INF))
+
+
+def _front_to_back_groups(gbox_ref, num_groups, o, inv, active, aux_ref,
+                          tmin_ref, process_group):
+    """Process surviving groups nearest-first in DIST_BINS distance bins.
+
+    Near groups settle ``best`` (aux_ref[2]) early, so the per-group cull's
+    ``tmin >= best`` clause occlusion-culls everything behind the first
+    hits — Morton order alone made `best` tighten too late and the r1
+    kernels swept effectively every tile of large scenes."""
+    lo, hi = _group_distance_pass(gbox_ref, num_groups, o, inv, active, tmin_ref)
+    inv_w = DIST_BINS / jnp.maximum(hi - lo, 1e-20)
+
+    def bin_body(k, _):
+        def g_body(g, _):
+            bt = tmin_ref[g]
+            bin_k = jnp.minimum(
+                jnp.floor((bt - lo) * inv_w), DIST_BINS - 1
+            ).astype(jnp.int32)
+
+            @pl.when((bt < INF) & (bin_k == k))
+            def _():
+                @pl.when(_cull_any(gbox_ref, g, o, inv, aux_ref[2, :], active))
+                def _():
+                    process_group(g)
+
+            return 0
+
+        jax.lax.fori_loop(0, num_groups, g_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, DIST_BINS, bin_body, 0)
+
+
+# Resident scenes below this many groups use the plain sequential tile loop:
+# the two-pass front-to-back machinery only pays off once there are enough
+# groups for occlusion culling to retire real work.
+F2B_MIN_GROUPS = 8
+
+
+def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
+                    tmin_ref):
+    Tp = tri_ref.shape[1]
+    num_tiles = bbox_ref.shape[1]  # REAL tiles (loop bound)
+    num_groups = gbox_ref.shape[1]
+    o, d, inv, active = _init_trace_refs(state_ref, aux_ref, idx_ref)
+
+    def visit_tile(jt, real):
+        jc = jnp.minimum(jt, num_tiles - 1)  # clamp the SMEM bbox read
+        hit = real & _cull_any(bbox_ref, jc, o, inv, aux_ref[2, :], active)
+
+        @pl.when(hit)
         def _():
             s = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
             rows = tri_ref[:, pl.ds(s, TRI_TILE_T)]  # (13, Kt)
-            _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref)
+            _tile_update(
+                rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
+                aux_ref, idx_ref,
+            )
 
-        return 0
+    if num_groups < F2B_MIN_GROUPS:
+        def tile_body(jt, _):
+            visit_tile(jt, True)
+            return 0
 
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+        jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+        return
+
+    def process_group(g):
+        def tile_body(jg, _):
+            jt = g * GROUP_TILES + jg
+            visit_tile(jt, jt < num_tiles)
+            return 0
+
+        jax.lax.fori_loop(0, GROUP_TILES, tile_body, 0)
+
+    _front_to_back_groups(
+        gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref, process_group
+    )
 
 
-def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, aux_ref, idx_ref):
-    """HBM-streaming variant: the transform bank stays in HBM; tiles that
-    survive the block-level AABB cull are DMA'd into a VMEM scratch tile.
-    The per-tile copy is ~13 KB — latency mostly hides behind the previous
-    tile's VPU work, and culled tiles cost nothing."""
+def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref,
+                        idx_ref, tmin_ref):
+    """HBM-streaming variant: the transform bank stays in HBM.  The
+    front-to-back group cull gates the DMA stream — a culled group of
+    GROUP_TILES tiles costs one slab test and moves ZERO bytes (r1 fetched
+    every tile: ~13 KB × all tiles × every ray block, which made
+    100k-triangle scenes DMA-bound).  Within a surviving group, tiles
+    double-buffer so the copy of tile j+1 overlaps tile j's work."""
     Tp = tri_hbm_ref.shape[1]
-    num_tiles = Tp // TRI_TILE_T
-
-    ox = state_ref[0, :]
-    oy = state_ref[1, :]
-    oz = state_ref[2, :]
-    dx = state_ref[3, :]
-    dy = state_ref[4, :]
-    dz = state_ref[5, :]
-    active = state_ref[12, :] > 0.0
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
-    inv_dz = 1.0 / dz
-
-    aux_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
-    aux_ref[1, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
-    aux_ref[2, :] = jnp.full((LANE_BLOCK,), INF, jnp.float32)
-    aux_ref[3, :] = state_ref[13, :]
-    aux_ref[4, :] = state_ref[12, :]
-    aux_ref[5, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
-    aux_ref[6, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
-    aux_ref[7, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
-    idx_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.int32)
+    num_tiles = bbox_ref.shape[1]  # REAL tiles
+    num_groups = gbox_ref.shape[1]
+    o, d, inv, active = _init_trace_refs(state_ref, aux_ref, idx_ref)
 
     def scoped(scratch, sems):
-        # Double-buffered tile stream: every tile is fetched (v5e HBM
-        # bandwidth is ample — ~13 KB per tile) so the copy of tile jt+1
-        # always overlaps tile jt's cull + intersection work.
         def get_dma(slot, jt):
             src = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
             return pltpu.make_async_copy(
@@ -430,46 +543,46 @@ def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, aux_ref, idx_ref):
                 sems.at[slot],
             )
 
-        get_dma(0, 0).start()
+        def process_group(g):
+            # A group's first tile is always real (groups cover real tiles).
+            get_dma(0, g * GROUP_TILES).start()
 
-        def tile_body(jt, _):
-            slot = jax.lax.rem(jt, 2)
-            nslot = jax.lax.rem(jt + 1, 2)
+            def tile_body(jg, _):
+                jt = g * GROUP_TILES + jg
+                real = jt < num_tiles
+                slot = jax.lax.rem(jg, 2)
+                nslot = jax.lax.rem(jg + 1, 2)
 
-            @pl.when(jt + 1 < num_tiles)
-            def _():
-                get_dma(nslot, jt + 1).start()
+                @pl.when((jg + 1 < GROUP_TILES) & (jt + 1 < num_tiles))
+                def _():
+                    get_dma(nslot, jt + 1).start()
 
-            best = aux_ref[2, :]
-            tx1 = (bbox_ref[0, jt] - ox) * inv_dx
-            tx2 = (bbox_ref[3, jt] - ox) * inv_dx
-            ty1 = (bbox_ref[1, jt] - oy) * inv_dy
-            ty2 = (bbox_ref[4, jt] - oy) * inv_dy
-            tz1 = (bbox_ref[2, jt] - oz) * inv_dz
-            tz2 = (bbox_ref[5, jt] - oz) * inv_dz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-                jnp.minimum(tz1, tz2),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-                jnp.maximum(tz1, tz2),
-            )
-            box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
-            box_hit = active & ~box_miss
-
-            get_dma(slot, jt).wait()
-
-            @pl.when(jnp.any(box_hit))
-            def _():
-                s = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
-                _tile_update(
-                    scratch[slot], ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref
+                # Tile cull before the wait so it overlaps the copy.
+                jc = jnp.minimum(jt, num_tiles - 1)
+                tile_hit = real & _cull_any(
+                    bbox_ref, jc, o, inv, aux_ref[2, :], active
                 )
 
-            return 0
+                @pl.when(real)
+                def _():
+                    get_dma(slot, jt).wait()
 
-        jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+                @pl.when(tile_hit)
+                def _():
+                    s = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
+                    _tile_update(
+                        scratch[slot], o[0], o[1], o[2], d[0], d[1], d[2],
+                        s, Tp, aux_ref, idx_ref,
+                    )
+
+                return 0
+
+            jax.lax.fori_loop(0, GROUP_TILES, tile_body, 0)
+
+        _front_to_back_groups(
+            gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref,
+            process_group,
+        )
 
     pl.run_scoped(
         scoped,
@@ -490,20 +603,28 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
     assert R % LANE_BLOCK == 0, f"wave {R} not a multiple of {LANE_BLOCK}"
     # The kernels index per-tile bboxes by tile id — tile size and bake
     # granularity must agree.
-    assert tris.tri_data.shape[1] == tris.tile_bbox.shape[1] * TRI_TILE_T
+    # tile_bbox covers REAL tiles; the bank is padded to whole groups so
+    # last-group DMA slices stay in bounds.
+    real_tiles = tris.tile_bbox.shape[1]
+    assert tris.group_bbox.shape[1] == -(-real_tiles // GROUP_TILES)
+    assert tris.tri_data.shape[1] >= real_tiles * TRI_TILE_T
+    assert tris.tri_data.shape[1] % (TRI_TILE_T * GROUP_TILES) == 0
     nb = R // LANE_BLOCK
 
     streaming = tris.tri_data.shape[1] > VMEM_RESIDENT_MAX_TRIS
     kernel = _trace_kernel_t_hbm if streaming else _trace_kernel_t
     tri_space = pltpu.ANY if streaming else pltpu.VMEM
+    num_groups = tris.group_bbox.shape[1]
     aux, idx_m = pl.pallas_call(
         kernel,
         grid=(nb,),
         interpret=interpret,
+        scratch_shapes=[pltpu.SMEM((num_groups,), jnp.float32)],
         in_specs=[
             pl.BlockSpec((16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0), memory_space=tri_space),
             pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(tris.group_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -513,6 +634,6 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
             jax.ShapeDtypeStruct((8, R), jnp.float32),
             jax.ShapeDtypeStruct((1, R), jnp.int32),
         ],
-    )(state16, tris.tri_data, tris.tile_bbox)
+    )(state16, tris.tri_data, tris.tile_bbox, tris.group_bbox)
 
     return aux, idx_m[0]

@@ -14,7 +14,7 @@ Mosaic has no arbitrary in-kernel gather on v5e (only same-shape
 single wide ``take`` instead of eight row gathers.
 
 Layout: per-ray data is TRANSPOSED — fields on sublanes, rays on lanes:
-``aux`` (8, R), ``svec`` (8, R), ``state`` (12, R), ``texels`` (32, R).
+``aux`` (8, R), ``svec`` (8, R), ``state`` (16, R), ``rec`` (24, R).
 Ray-major (R, k<128) blocks pad their lane dimension to 128 inside Mosaic,
 so every field slice materialized ~0.5 MB of vreg spill and the kernels blew
 the 16 MB scoped-VMEM limit; field-major rows are dense lane vectors, the
@@ -27,7 +27,7 @@ Row layouts:
   state (16, R) f32: [ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
                       alive, streams(bitcast), segments, pad]
   tex_idx (8, R) i32: base [p11, p21, p12, p22], emissive [p11, p21, p12, p22]
-  texels  (32, R) f32: row = channel*8 + texel (channel-major: the axis-1
+  texels  (2n, R) u32: row = half*n + texel of the u16x2-packed bank (the axis-1
                        gather from color_data_t reshapes to this for free)
 """
 
@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.rng import _bits, _u01
-from ..scene.types import COL_BASE_DESC, COL_EMIS_DESC, COL_NRM, COL_UV, DeviceScene
+from ..scene.types import PCOL_BASE, PCOL_EMIS, PCOL_NRM, PCOL_UV, PACKED_COLS, DeviceScene
 
 # Rays per grid step (lane dimension).  Large to amortize the ~10 µs
 # per-grid-step overhead; a (32, SHADE_BLOCK) f32 block is 2 MB.
@@ -62,30 +62,51 @@ def _texel_pair(c, size_f, lo_f, hi_f, is_repeat):
     return jnp.where(is_repeat, r1, c1), jnp.where(is_repeat, r2, c2)
 
 
-def _make_prep_kernel(emissive_dummy: bool):
+def _make_prep_kernel(emissive_dummy: bool, block_skip: bool):
     def _prep_kernel(rec_ref, aux_ref, idx_ref, svec_ref):
-        return _prep_body(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy)
+        if not block_skip:
+            # No bounce sorting ⇒ dead rays are scattered, whole-dead blocks
+            # are rare, and the branch costs more than it saves (measured).
+            return _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy)
+        # Compaction dividend: bounce sorting packed the dead rays into
+        # all-dead lane blocks (wavefront._ray_sort_key) — write zeros and
+        # skip the interpolation/index math entirely.
+        alive_any = jnp.any(aux_ref[4, :] > 0.0)
+
+        @pl.when(~alive_any)
+        def _():
+            idx_ref[:, :] = jnp.zeros(idx_ref.shape, jnp.int32)
+            svec_ref[:, :] = jnp.zeros(svec_ref.shape, jnp.float32)
+
+        @pl.when(alive_any)
+        def _():
+            _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy)
 
     return _prep_kernel
 
 
-def _prep_body(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
+def _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
     u = aux_ref[0, :]
     v = aux_ref[1, :]
     w0 = 1.0 - u - v
     rec = lambda k: rec_ref[k, :]
 
-    tc_u = rec(COL_UV + 0) * w0 + rec(COL_UV + 2) * u + rec(COL_UV + 4) * v
-    tc_v = rec(COL_UV + 1) * w0 + rec(COL_UV + 3) * u + rec(COL_UV + 5) * v
-    nx = rec(COL_NRM + 0) * w0 + rec(COL_NRM + 3) * u + rec(COL_NRM + 6) * v
-    ny = rec(COL_NRM + 1) * w0 + rec(COL_NRM + 4) * u + rec(COL_NRM + 7) * v
-    nz = rec(COL_NRM + 2) * w0 + rec(COL_NRM + 5) * u + rec(COL_NRM + 8) * v
+    tc_u = rec(PCOL_UV + 0) * w0 + rec(PCOL_UV + 2) * u + rec(PCOL_UV + 4) * v
+    tc_v = rec(PCOL_UV + 1) * w0 + rec(PCOL_UV + 3) * u + rec(PCOL_UV + 5) * v
+    nx = rec(PCOL_NRM + 0) * w0 + rec(PCOL_NRM + 3) * u + rec(PCOL_NRM + 6) * v
+    ny = rec(PCOL_NRM + 1) * w0 + rec(PCOL_NRM + 4) * u + rec(PCOL_NRM + 7) * v
+    nz = rec(PCOL_NRM + 2) * w0 + rec(PCOL_NRM + 5) * u + rec(PCOL_NRM + 8) * v
 
     def tex_indices(d, row0):
-        wf = rec(d + 1)
-        hf = rec(d + 2)
-        x1, x2 = _texel_pair(tc_u, wf, rec(d + 3), rec(d + 4), rec(d + 3) < 0)
-        y1, y2 = _texel_pair(tc_v, hf, rec(d + 5), rec(d + 6), rec(d + 5) < 0)
+        # Packed descriptor (scene/types.py build_packed_record):
+        # [offset, ±w, ±h, scale], sign = repeat wrap on that axis; clamp
+        # bounds are always [0, size-1].
+        wf_s = rec(d + 1)
+        hf_s = rec(d + 2)
+        wf = jnp.abs(wf_s)
+        hf = jnp.abs(hf_s)
+        x1, x2 = _texel_pair(tc_u, wf, 0.0, wf - 1.0, wf_s < 0)
+        y1, y2 = _texel_pair(tc_v, hf, 0.0, hf - 1.0, hf_s < 0)
         off = rec(d).astype(jnp.int32)
         w_i = wf.astype(jnp.int32)
         x1i, x2i = x1.astype(jnp.int32), x2.astype(jnp.int32)
@@ -95,31 +116,47 @@ def _prep_body(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
         idx_ref[row0 + 2, :] = off + y2w + x1i
         idx_ref[row0 + 3, :] = off + y2w + x2i
 
-    tex_indices(COL_BASE_DESC, 0)
+    tex_indices(PCOL_BASE, 0)
     if emissive_dummy:
         # Every emissive entry is a 1×1 dummy: its only texel sits at the
         # descriptor offset — one fetch instead of four bilinear corners.
-        idx_ref[4, :] = rec(COL_EMIS_DESC).astype(jnp.int32)
+        idx_ref[4, :] = rec(PCOL_EMIS).astype(jnp.int32)
         for k in range(5, 8):
             idx_ref[k, :] = jnp.zeros_like(idx_ref[4, :])
     else:
-        tex_indices(COL_EMIS_DESC, 4)
+        tex_indices(PCOL_EMIS, 4)
 
     svec_ref[0, :] = nx
     svec_ref[1, :] = ny
     svec_ref[2, :] = nz
     svec_ref[3, :] = jnp.abs(tc_u - jnp.trunc(tc_u))
     svec_ref[4, :] = jnp.abs(tc_v - jnp.trunc(tc_v))
-    # u16 dequant multipliers of the two textures (scene/types.py DESC_SCALE)
-    svec_ref[5, :] = rec(COL_BASE_DESC + 7)
-    svec_ref[6, :] = rec(COL_EMIS_DESC + 7)
+    # u16 dequant multipliers of the two textures
+    svec_ref[5, :] = rec(PCOL_BASE + 3)
+    svec_ref[6, :] = rec(PCOL_EMIS + 3)
     svec_ref[7, :] = jnp.zeros_like(tc_u)
 
 
-def _make_shade_kernel(bounce: int, emissive_dummy: bool):
+def _make_shade_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
     n_texels = 5 if emissive_dummy else 8
 
     def _shade_kernel(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref):
+        if not block_skip:
+            return _shade_live(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref)
+        alive = aux_ref[4, :] > 0.0
+        alive_any = jnp.any(alive)
+
+        @pl.when(~alive_any)
+        def _():
+            # All-dead block (bounce sorting compacts dead rays here): the
+            # state passes through untouched — identical to the masked math.
+            out_state_ref[:, :] = state_ref[:, :]
+
+        @pl.when(alive_any)
+        def _():
+            _shade_live(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref)
+
+    def _shade_live(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref):
         t = aux_ref[2, :]
         streams = pltpu.bitcast(aux_ref[3:4, :], jnp.uint32)[0, :]
         alive = aux_ref[4, :] > 0.0
@@ -257,7 +294,7 @@ def _rspec(rows):
     return pl.BlockSpec((rows, SHADE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
-@partial(jax.jit, static_argnames=("bounce", "interpret"))
+@partial(jax.jit, static_argnames=("bounce", "interpret", "block_skip"))
 def shade_fused(
     scene: DeviceScene,
     state,  # (16, R) f32 field-major ray state (see ops/mxu_intersect.py)
@@ -265,6 +302,7 @@ def shade_fused(
     tri_m,  # (R,) int32 Morton-space triangle ids (shade_table_t order)
     bounce: int,
     interpret: bool = False,
+    block_skip: bool = False,
 ):
     """One fused shading bounce.  Returns the new (16, R) state.
 
@@ -285,13 +323,13 @@ def shade_fused(
 
     # Axis-1 gather from the pre-permuted field-major table: no transpose,
     # no perm lookup.
-    rec = padr(jnp.take(scene.shade_table_t, tri_m, axis=1))  # (32, R)
+    rec = padr(jnp.take(scene.shade_table_t, tri_m, axis=1))  # (24, R) packed
     aux = padr(aux)
 
     tex_idx, svec = pl.pallas_call(
-        _make_prep_kernel(emissive_dummy),
+        _make_prep_kernel(emissive_dummy, block_skip),
         grid=(nb,),
-        in_specs=[_rspec(32), _rspec(8)],
+        in_specs=[_rspec(PACKED_COLS), _rspec(8)],
         out_specs=[_rspec(8), _rspec(8)],
         out_shape=[
             jax.ShapeDtypeStruct((8, Rp), jnp.int32),
@@ -312,7 +350,7 @@ def shade_fused(
     )
 
     new_state = pl.pallas_call(
-        _make_shade_kernel(bounce, emissive_dummy),
+        _make_shade_kernel(bounce, emissive_dummy, block_skip),
         grid=(nb,),
         in_specs=[_rspec(8), _rspec(8), _rspec(2 * n_texels), _rspec(16)],
         out_specs=_rspec(16),

@@ -40,6 +40,35 @@ INF = jnp.inf
 # Triangles tested per ray per while-loop iteration in the grid fallback.
 TRI_BATCH = 4
 
+# Sort bounce rays only when the baked bank is in the HBM-streaming regime
+# (ops/mxu_intersect.VMEM_RESIDENT_MAX_TRIS): below it a bounce's trace is
+# cheaper than the sort itself.
+SORT_MIN_TRIS = 1 << 16
+
+
+def _ray_sort_key(scene: DeviceScene, state):
+    """int32 sort key per lane: (dead, origin Morton cell, direction cell).
+
+    Dead rays get the largest keys (they compact to the tail, forming
+    all-dead lane blocks the trace/shade kernels skip); live rays cluster
+    by 4-bit-per-axis Morton cell of the origin, then by 3-bit-per-axis
+    quantized direction, so a 512-lane block sees a compact narrow frustum
+    and the per-block AABB culls actually reject groups/tiles.  The
+    direction bits matter even for shared-origin primary rays, where the
+    origin cell is degenerate.
+    """
+    dead = (state[12] <= 0.0).astype(jnp.int32)
+    span = jnp.maximum(scene.grid.bbox_max - scene.grid.bbox_min, 1e-30)
+    rel = (state[0:3] - scene.grid.bbox_min[:, None]) / span[:, None]
+    q = jnp.clip(rel * 16.0, 0.0, 15.0).astype(jnp.int32)  # (3, R)
+    morton = jnp.zeros_like(dead)
+    for b in range(4):
+        for a in range(3):
+            morton = morton | (((q[a] >> b) & 1) << (3 * b + a))
+    dq = jnp.clip((state[3:6] + 1.0) * 4.0, 0.0, 7.0).astype(jnp.int32)  # (3, R)
+    dir_cell = (dq[0] * 8 + dq[1]) * 8 + dq[2]
+    return (dead * (1 << 12) + morton) * 512 + dir_cell
+
 
 class TraceResult(NamedTuple):
     t: jnp.ndarray  # (R,) f32 — +inf on miss
@@ -293,9 +322,36 @@ def render_wave(
             ],
             axis=0,
         )
+        # Bounce-ray reordering: bounce rays scatter in direction and origin,
+        # which defeats the trace kernel's per-block tile culls.  For scenes
+        # big enough that traversal dominates (the HBM-streaming regime),
+        # sort the ray state between bounces by (dead, direction octant,
+        # coarse Morton cell of the origin): dead rays pack into all-dead
+        # lane blocks the kernels skip outright (compaction), and live
+        # blocks become spatially coherent so group/tile culls bite.  The
+        # sort costs one argsort + a (16, R) axis-1 gather per bounce —
+        # profitable only when a bounce's trace costs much more (gated by
+        # sort_rays; see SORT_MIN_TRIS).
+        sort_rays = scene.mxu.tri_data.shape[1] > SORT_MIN_TRIS
+        order = local  # running map: lane -> original wave position
         for bounce in range(max_bounce):
+            if sort_rays:  # bounce 0 too: direction bits tighten the cones
+                key = _ray_sort_key(scene, state)
+                perm = jnp.argsort(key)
+                state = jnp.take(state, perm, axis=1)
+                order = jnp.take(order, perm)
             aux, tri = trace_emit_aux(scene.mxu, state, interpret=interpret)
-            state = shade_fused(scene, state, aux, tri, bounce, interpret=interpret)
+            state = shade_fused(
+                scene, state, aux, tri, bounce,
+                interpret=interpret, block_skip=sort_rays,
+            )
+        if sort_rays:
+            inv = jnp.argsort(order)
+            return (
+                pixel,
+                jnp.take(state[9:12], inv, axis=1).T,
+                jnp.take(state[14], inv).astype(jnp.int32),
+            )
         return pixel, state[9:12].T, state[14].astype(jnp.int32)
 
     radiance = jnp.zeros_like(direction)

@@ -45,6 +45,35 @@ SHADE_COLS = 32  # padded for tiling
 
 _DESC_SENTINEL = float(1 << 30)
 
+# Packed per-triangle record for the FUSED pipeline only (shade_table_t):
+# 24 rows instead of 32 — the record gather is the other half of the
+# profiled gather cost.  Descriptors compress to 4 cols: [offset, ±w, ±h,
+# dequant scale], negative w/h meaning repeat wrap on that axis (clamp
+# bounds are always [0, size-1], so they are derivable).  The XLA path
+# keeps the full shade_table.
+PCOL_NRM = 0  # 9
+PCOL_UV = 9  # 6
+PCOL_BASE = 15  # 4: off, ±w, ±h, scale
+PCOL_EMIS = 19  # 4
+PACKED_COLS = 24  # padded (sublane-friendly)
+
+
+def build_packed_record(shade_np: np.ndarray) -> np.ndarray:
+    """(T, 32) shade table → (T, 24) fused-pipeline record."""
+    T = shade_np.shape[0]
+    packed = np.zeros((T, PACKED_COLS), np.float32)
+    packed[:, PCOL_NRM : PCOL_NRM + 15] = shade_np[:, COL_NRM : COL_NRM + 15]
+    for src, dst in ((COL_BASE_DESC, PCOL_BASE), (COL_EMIS_DESC, PCOL_EMIS)):
+        w = shade_np[:, src + 1]
+        h = shade_np[:, src + 2]
+        u_repeat = shade_np[:, src + 3] < 0  # sentinel lower bound = repeat
+        v_repeat = shade_np[:, src + 5] < 0
+        packed[:, dst + 0] = shade_np[:, src + 0]  # offset
+        packed[:, dst + 1] = np.where(u_repeat, -w, w)
+        packed[:, dst + 2] = np.where(v_repeat, -h, h)
+        packed[:, dst + 3] = shade_np[:, src + DESC_SCALE]
+    return packed
+
 
 class DeviceScene(NamedTuple):
     grid: GridParams
@@ -65,7 +94,8 @@ class DeviceScene(NamedTuple):
     mxu: MXUTriangles | None = None
     # Fused-pipeline variants (None unless mxu is built): field-major and
     # pre-permuted so the hot loop needs no transposes or perm gathers —
-    # shade_table_t is (32, Tp) in Morton order; color_data_t is (4, P).
+    # shade_table_t is the PACKED (24, Tp) record in Morton order (see
+    # build_packed_record); color_data_t is (4, P).
     shade_table_t: jnp.ndarray | None = None
     color_data_t: jnp.ndarray | None = None
     # u16×2-packed texel bank (2, P) uint32: row 0 = R | G<<16, row 1 =
@@ -166,7 +196,9 @@ def build_device_scene(
         mxu=mxu,
         shade_table_t=(
             jnp.asarray(
-                np.ascontiguousarray(shade_np[np.asarray(mxu.perm)].T)
+                np.ascontiguousarray(
+                    build_packed_record(shade_np)[np.asarray(mxu.perm)].T
+                )
             )
             if mxu is not None
             else None
