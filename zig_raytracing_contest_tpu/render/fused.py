@@ -41,7 +41,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.rng import _bits, _u01
-from ..scene.types import PCOL_BASE, PCOL_EMIS, PCOL_NRM, PCOL_UV, PACKED_COLS, DeviceScene
+from ..scene.types import (
+    PACKED_COLS,
+    PCOL_BASE,
+    PCOL_EMIS,
+    PCOL_NRM,
+    PCOL_UV,
+    DeviceScene,
+)
 
 # Rays per grid step (lane dimension).  Large to amortize the ~10 µs
 # per-grid-step overhead; a (32, SHADE_BLOCK) f32 block is 2 MB.
@@ -141,8 +148,17 @@ def _make_shade_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
     n_texels = 5 if emissive_dummy else 8
 
     def _shade_kernel(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref):
+        # tex_ref carries the XLA-gathered packed texels (2n, R) int32.
+        # (An in-kernel lane-LUT variant via take_along_axis was tried and
+        # CANNOT work on v5e: Mosaic's dynamic_gather requires identical
+        # input/index shapes and a source spanning ONE vreg along the
+        # gather dimension — "Multiple source vregs along gather dimension:
+        # Not implemented".  See docs/PERFORMANCE.md.)
+        def fetch_all():
+            return tex_ref[0:n_texels, :], tex_ref[n_texels : 2 * n_texels, :]
+
         if not block_skip:
-            return _shade_live(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref)
+            return _shade_live(aux_ref, svec_ref, fetch_all, state_ref, out_state_ref)
         alive = aux_ref[4, :] > 0.0
         alive_any = jnp.any(alive)
 
@@ -154,9 +170,9 @@ def _make_shade_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
 
         @pl.when(alive_any)
         def _():
-            _shade_live(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref)
+            _shade_live(aux_ref, svec_ref, fetch_all, state_ref, out_state_ref)
 
-    def _shade_live(aux_ref, svec_ref, tex_ref, state_ref, out_state_ref):
+    def _shade_live(aux_ref, svec_ref, fetch_all, state_ref, out_state_ref):
         t = aux_ref[2, :]
         streams = pltpu.bitcast(aux_ref[3:4, :], jnp.uint32)[0, :]
         alive = aux_ref[4, :] > 0.0
@@ -165,20 +181,20 @@ def _make_shade_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
         fu = svec_ref[3, :]
         fv = svec_ref[4, :]
 
-        # tex_ref is the u16×2-packed bank gather: (2*n_texels, R) uint32,
-        # row = half*n_texels + texel; half 0 = R|G<<16, half 1 = B|A<<16.
+        # Texels are u16×2-packed int32 (half 0 = R|G<<16, half 1 = B|A<<16).
         # Dequantize each texel channel FIRST (f32(u16) * scale — the exact
         # f32 product the bank bakes, materials._quantize_bank), then
         # bilinear in the same order as ops/texture.py: bit-identical to the
         # XLA path, with half the gathered elements.
+        lo_all, hi_all = fetch_all()
+
         def dequant4(texel, scale):
-            lo = tex_ref[texel, :]
-            hi = tex_ref[n_texels + texel, :]
+            lo, hi = lo_all[texel, :], hi_all[texel, :]
             return (
-                (lo & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * scale,
-                (lo >> 16).astype(jnp.int32).astype(jnp.float32) * scale,
-                (hi & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * scale,
-                (hi >> 16).astype(jnp.int32).astype(jnp.float32) * scale,
+                (lo & 0xFFFF).astype(jnp.float32) * scale,
+                jax.lax.shift_right_logical(lo, 16).astype(jnp.float32) * scale,
+                (hi & 0xFFFF).astype(jnp.float32) * scale,
+                jax.lax.shift_right_logical(hi, 16).astype(jnp.float32) * scale,
             )
 
         base_scale = svec_ref[5, :]
@@ -338,13 +354,12 @@ def shade_fused(
         interpret=interpret,
     )(rec, aux)
 
-    # ONE wide texel gather along the packed bank's ray axis:
-    # (2, P) u16×2 uint32 taken at (n_texels, Rp) indices → (2, n, Rp) →
-    # reshape (2n, Rp) with row = half*n + texel, no transpose.  HALF the
-    # gathered elements of the f32 bank (the profiled #1 cost); the shade
-    # kernel dequantizes.  Padding rows hit texel 0 — harmless, masked by
-    # alive=0.
     n_texels = 5 if emissive_dummy else 8
+    # ONE wide XLA texel gather along the packed bank's ray axis: (2, P)
+    # int32 taken at (n_texels, Rp) indices → (2, n, Rp) → reshape (2n, Rp)
+    # with row = half*n + texel, no transpose.  HALF the gathered elements
+    # of the old f32 bank; the shade kernel dequantizes.  Padding rows hit
+    # texel 0 — harmless, masked by alive=0.
     texels = jnp.take(scene.color_packed_t, tex_idx[:n_texels], axis=1).reshape(
         2 * n_texels, Rp
     )

@@ -110,6 +110,19 @@ class DeviceScene(NamedTuple):
     emissive_all_dummy: jnp.ndarray | None = None
 
 
+def _pack_color_bank(color_u16: np.ndarray) -> np.ndarray:
+    """(P, 4) u16 → (2, P) int32 u16×2-packed bank (R|G<<16, B|A<<16);
+    int32 (same bit pattern) for gather friendliness."""
+    return np.stack(
+        [
+            color_u16[:, 0].astype(np.uint32)
+            | (color_u16[:, 1].astype(np.uint32) << 16),
+            color_u16[:, 2].astype(np.uint32)
+            | (color_u16[:, 3].astype(np.uint32) << 16),
+        ]
+    ).view(np.int32)
+
+
 def _desc_to_f32(desc_rows: np.ndarray) -> np.ndarray:
     d = desc_rows.astype(np.float64)
     return np.clip(d, -_DESC_SENTINEL, _DESC_SENTINEL).astype(np.float32)
@@ -209,16 +222,7 @@ def build_device_scene(
             else None
         ),
         color_packed_t=(
-            jnp.asarray(
-                np.stack(
-                    [
-                        materials.color_u16[:, 0].astype(np.uint32)
-                        | (materials.color_u16[:, 1].astype(np.uint32) << 16),
-                        materials.color_u16[:, 2].astype(np.uint32)
-                        | (materials.color_u16[:, 3].astype(np.uint32) << 16),
-                    ]
-                )
-            )
+            jnp.asarray(_pack_color_bank(materials.color_u16))
             if mxu is not None and materials.color_u16 is not None
             else None
         ),
