@@ -116,8 +116,16 @@ class TestMaterials:
         # opacity 1.0 in the alpha channel (opaque material)
         desc = bank.color_desc[bank.mat_base[1]]
         assert tuple(desc[1:3]) == (1, 1)
+        # atol = one u16 quantization step (texels are baked as
+        # u16 x per-texture scale since r2; see materials._quantize_bank)
         np.testing.assert_allclose(
-            bank.color_data[desc[0]], [0.65, 0.05, 0.05, 1.0], atol=1e-6
+            bank.color_data[desc[0]], [0.65, 0.05, 0.05, 1.0], atol=1.0 / 65535
+        )
+        # the quantization twins reconstruct the f32 bank EXACTLY
+        scale = bank.color_scale[bank.mat_base[1]]
+        np.testing.assert_array_equal(
+            bank.color_data[desc[0]],
+            bank.color_u16[desc[0]].astype(np.float32) * scale,
         )
 
     def test_texture_gamma_decode_and_wrap(self, tmp_path):
@@ -138,10 +146,11 @@ class TestMaterials:
         offset, w, h = int(desc[0]), int(desc[1]), int(desc[2])
         assert (w, h) == (2, 1)
         # stb ldr_to_hdr: (128/255)^2.2 on RGB; opaque => alpha channel 1.0
+        # (atol = one u16 quantization step of the r2 texel bake)
         np.testing.assert_allclose(
             bank.color_data[offset + 1],
             [(128 / 255) ** 2.2] * 3 + [1.0],
-            atol=1e-6,
+            atol=1.0 / 65535,
         )
         # clamp_to_edge on S: [0, w-1]; repeat on T: full int32 range
         assert (int(desc[3]), int(desc[4])) == (0, 1)
