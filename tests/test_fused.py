@@ -121,7 +121,7 @@ def test_fused_matches_xla_shading(scene_and_rays):
 
     # --- XLA reference composition (mirrors render_wave's loop body)
     bounce = 1
-    new_orig, new_dir, emissive, albedo, pass_through, missed = shade_and_scatter(
+    new_orig, new_dir, emissive, albedo, pass_through, missed, _ = shade_and_scatter(
         scene, orig, direction, t, u, v, tri, streams, bounce
     )
     add_env = alive & missed

@@ -19,7 +19,8 @@ from dataclasses import dataclass, field
 REFERENCE_KEYS = {"grid_resolution", "num_threads", "num_samples", "max_bounce"}
 EXTRA_INT_KEYS = {"wave_size", "seed", "progressive_every"}
 EXTRA_STR_KEYS = {"backend"}
-EXTRA_KEYS = EXTRA_INT_KEYS | EXTRA_STR_KEYS
+EXTRA_BOOL_KEYS = {"nee", "russian_roulette", "pbr"}  # render extensions
+EXTRA_KEYS = EXTRA_INT_KEYS | EXTRA_STR_KEYS | EXTRA_BOOL_KEYS
 
 
 @dataclass
@@ -33,6 +34,12 @@ class Config:
     seed: int = 0
     progressive_every: int = 0  # waves between intermediate PNG dumps (0=off)
     backend: str = "auto"  # intersection backend: auto | mxu | grid
+    # Extensions (render/extensions.py) — OFF by default: the reference has
+    # none of these; enabling any changes the estimator (still converging to
+    # the same image for nee/russian_roulette; pbr changes materials).
+    nee: bool = False
+    russian_roulette: bool = False
+    pbr: bool = False
 
     @property
     def host_threads(self) -> int:
@@ -61,7 +68,17 @@ class Config:
             setattr(cfg, key, int(raw[key]))
         for key in EXTRA_STR_KEYS & set(raw):
             setattr(cfg, key, str(raw[key]))
+        for key in EXTRA_BOOL_KEYS & set(raw):
+            setattr(cfg, key, bool(raw[key]))
         return cfg
+
+    @property
+    def ext_flags(self):
+        from .render.extensions import ExtFlags
+
+        return ExtFlags(
+            nee=self.nee, russian_roulette=self.russian_roulette, pbr=self.pbr
+        )
 
 
 @dataclass

@@ -124,6 +124,9 @@ def render_scene(
     seg_parts = []  # device scalars; converting per-wave would force a sync
 
     progressive = progressive_path and config.progressive_every
+    ext = config.ext_flags
+    if not ext.any:
+        ext = None
 
     with timers.phase("render", "Rendered"):
         if not progressive:
@@ -147,6 +150,7 @@ def render_scene(
                     jnp.int32(start),
                     base_key,
                     use_fused,
+                    ext,
                 )
                 seg_parts.append(segs)
         for wave in range(num_waves if progressive else 0):
@@ -166,6 +170,7 @@ def render_scene(
                 base_key,
                 jnp.int32(wave * wave_pixels),
                 use_fused,
+                ext,
             )
             seg_parts.append(wave_segments)
             if (

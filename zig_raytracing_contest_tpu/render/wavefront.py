@@ -245,7 +245,7 @@ def shade_and_scatter(scene: DeviceScene, orig, direction, t, u, v, tri, streams
     new_orig = linalg.ray_at(orig, direction, t + FLT_EPSILON)
     new_dir = jnp.where(pass_through[:, None], direction, scattered)
 
-    return new_orig, new_dir, emissive, albedo, pass_through, missed
+    return new_orig, new_dir, emissive, albedo, pass_through, missed, normal
 
 
 def render_wave(
@@ -262,6 +262,7 @@ def render_wave(
     base_key,
     pix_base=None,
     use_fused: bool | None = None,
+    ext=None,
 ):
     """Path-trace one wave of global ray ids [g_start, g_start + wave_size).
 
@@ -299,6 +300,13 @@ def render_wave(
     # elsewhere.  An explicit True forces the fused kernels (interpret mode
     # off-TPU) so CPU tests can pin the exact production composition,
     # including under shard_map.
+    ext_any = ext is not None and ext.any
+    if ext_any:
+        # Extensions run on the XLA shading path (reference semantics stay
+        # untouched in the fused kernels).
+        if use_fused:
+            raise ValueError("rendering extensions require the XLA path")
+        use_fused = False
     if use_fused is None:
         use_fused = scene.mxu is not None and jax.default_backend() == "tpu"
     if use_fused:
@@ -363,11 +371,20 @@ def render_wave(
 
     radiance = jnp.zeros_like(direction)
     throughput = jnp.ones_like(direction)
+    # NEE bookkeeping: emissive hit radiance counts only when the previous
+    # segment was NOT already direct-sampled (extensions.py docstring).
+    count_emissive = jnp.ones(R, dtype=bool)
+    use_nee = ext_any and ext.nee and scene.lights is not None
 
     for bounce in range(max_bounce):
+        if ext_any and ext.russian_roulette:
+            from .extensions import roulette
+
+            throughput, alive = roulette(throughput, streams, bounce, alive)
         segments = segments + alive.astype(jnp.int32)
         t, u, v, tri = trace_any(scene, orig, direction, alive)
-        new_orig, new_dir, emissive, albedo, pass_through, missed = shade_and_scatter(
+        (new_orig, new_dir, emissive, albedo, pass_through, missed, normal
+         ) = shade_and_scatter(
             scene, orig, direction, t, u, v, tri, streams, bounce
         )
 
@@ -377,7 +394,29 @@ def render_wave(
         )
 
         shaded = alive & ~missed & ~pass_through
-        radiance = radiance + jnp.where(shaded[:, None], throughput * emissive, 0.0)
+        add_emis = shaded & count_emissive if use_nee else shaded
+        radiance = radiance + jnp.where(add_emis[:, None], throughput * emissive, 0.0)
+
+        take_spec = None
+        if ext_any and ext.pbr and scene.ext_mr is not None:
+            from .extensions import pbr_scatter
+
+            spec_or_diff, take_spec = pbr_scatter(
+                scene, tri, direction, normal, new_dir, streams, bounce
+            )
+            new_dir = jnp.where(pass_through[:, None], direction, spec_or_diff)
+
+        if use_nee:
+            from .extensions import sample_direct_light
+
+            nee_lanes = shaded if take_spec is None else (shaded & ~take_spec)
+            radiance = radiance + sample_direct_light(
+                scene, new_orig, normal, albedo, throughput, streams, bounce,
+                nee_lanes,
+            )
+            # Next hit's emissive is double-counted only for NEE'd lanes.
+            count_emissive = jnp.where(shaded, ~nee_lanes, count_emissive)
+
         throughput = jnp.where(shaded[:, None], throughput * albedo, throughput)
 
         stepped = alive & ~missed
@@ -414,7 +453,7 @@ def accumulate_wave(framebuffer, pixel, radiance, segments, pix_base, spp, num_p
     jax.jit,
     static_argnames=(
         "width", "spp", "max_bounce", "wave_size", "num_pixels", "num_waves",
-        "use_fused",
+        "use_fused", "ext",
     ),
     donate_argnames=("framebuffer",),
 )
@@ -434,6 +473,7 @@ def render_frame_chunk(
     start_wave,
     base_key,
     use_fused: bool | None = None,
+    ext=None,
 ):
     """``num_waves`` waves in ONE device call via lax.fori_loop.
 
@@ -462,6 +502,7 @@ def render_frame_chunk(
             base_key,
             pix_base=(wave * wave_pixels).astype(jnp.int32),
             use_fused=use_fused,
+            ext=ext,
         )
         fb, wave_segs = accumulate_wave(
             fb, pixel, radiance, segments, wave * wave_pixels, spp, num_pixels
@@ -475,7 +516,9 @@ def render_frame_chunk(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "spp", "max_bounce", "wave_size", "num_pixels", "use_fused"),
+    static_argnames=(
+        "width", "spp", "max_bounce", "wave_size", "num_pixels", "use_fused", "ext",
+    ),
     donate_argnames=("framebuffer",),
 )
 def render_wave_accumulate(
@@ -494,6 +537,7 @@ def render_wave_accumulate(
     base_key,
     pix_base,
     use_fused: bool | None = None,
+    ext=None,
 ):
     """Jitted wave render + accumulate into the padded framebuffer.
 
@@ -516,6 +560,7 @@ def render_wave_accumulate(
         base_key,
         pix_base=pix_base,
         use_fused=use_fused,
+        ext=ext,
     )
     return accumulate_wave(
         framebuffer, pixel, radiance, segments, pix_base, spp, num_pixels

@@ -52,6 +52,10 @@ class MaterialBank:
     # color_u16 * color_scale[desc] exactly, in f32 arithmetic.
     color_u16: np.ndarray | None = None  # (P, 4) uint16
     color_scale: np.ndarray | None = None  # (N,) f32 dequant multiplier
+    # Metallic/roughness factors — the reference ignores them
+    # (src/stage1.zig:471-483); parsed for the opt-in pbr extension only.
+    mat_metallic: np.ndarray | None = None  # (M,) f32
+    mat_roughness: np.ndarray | None = None  # (M,) f32
 
     @property
     def num_materials(self) -> int:
@@ -192,9 +196,14 @@ def load_materials(gltf) -> MaterialBank:
     bank = _Bank()
     mat_base: list[int] = []
     mat_emissive: list[int] = []
+    metallic: list[float] = []
+    roughness: list[float] = []
     for material in gltf.doc.get("materials", []):
         mat_base.append(_base_color_entry(bank, gltf, material))
         mat_emissive.append(_emissive_entry(bank, gltf, material))
+        pbr = material.get("pbrMetallicRoughness", {})
+        metallic.append(float(pbr.get("metallicFactor", 1.0)))
+        roughness.append(float(pbr.get("roughnessFactor", 1.0)))
 
     color_data, color_desc = bank.finish()
     color_u16, color_scale = _quantize_bank(color_data, color_desc)
@@ -205,4 +214,6 @@ def load_materials(gltf) -> MaterialBank:
         mat_emissive=np.asarray(mat_emissive or [0], np.int32),
         color_u16=color_u16,
         color_scale=color_scale,
+        mat_metallic=np.asarray(metallic or [1.0], np.float32),
+        mat_roughness=np.asarray(roughness or [1.0], np.float32),
     )

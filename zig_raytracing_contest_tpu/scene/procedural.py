@@ -83,10 +83,16 @@ class SceneBuilder:
         emissive_texture: int | None = None,
         alpha_mode: str = "OPAQUE",
         alpha_cutoff: float | None = None,
+        metallic: float | None = None,
+        roughness: float | None = None,
     ) -> int:
         pbr: dict = {"baseColorFactor": list(base_color_factor)}
         if base_color_texture is not None:
             pbr["baseColorTexture"] = {"index": base_color_texture}
+        if metallic is not None:
+            pbr["metallicFactor"] = float(metallic)
+        if roughness is not None:
+            pbr["roughnessFactor"] = float(roughness)
         mat: dict = {"pbrMetallicRoughness": pbr, "emissiveFactor": list(emissive_factor)}
         if emissive_texture is not None:
             mat["emissiveTexture"] = {"index": emissive_texture}

@@ -108,6 +108,19 @@ class DeviceScene(NamedTuple):
     # material's emissive entry is a 1×1 dummy (factor only), letting the
     # shade pipeline fetch one emissive texel instead of four.
     emissive_all_dummy: jnp.ndarray | None = None
+    # Extension data (render/extensions.py; the reference has none of this):
+    # emissive-triangle sampling table for NEE, and per-unique-triangle
+    # (metallic, roughness) factors for the pbr scatter.
+    lights: object | None = None  # LightSet
+    ext_mr: jnp.ndarray | None = None  # (T, 2) f32
+
+
+def _build_lights(geometry, materials):
+    from ..render.extensions import build_light_set
+
+    if geometry.num_triangles == 0:
+        return None
+    return build_light_set(geometry, materials)
 
 
 def _pack_color_bank(color_u16: np.ndarray) -> np.ndarray:
@@ -236,6 +249,22 @@ def build_device_scene(
                     == 1
                 )
             )
+            else None
+        ),
+        lights=_build_lights(geometry, materials),
+        ext_mr=(
+            jnp.asarray(
+                np.stack(
+                    [
+                        materials.mat_metallic[geometry.material_idx],
+                        materials.mat_roughness[geometry.material_idx],
+                    ],
+                    axis=-1,
+                ),
+                jnp.float32,
+            )
+            if materials.mat_metallic is not None
+            and geometry.num_triangles > 0
             else None
         ),
     )
