@@ -292,7 +292,11 @@ def nearest_hit_mxu(tris: MXUTriangles, orig, direction, active):
 # state16 rows: 0-2 orig, 3-5 dir, 6-8 throughput, 9-11 radiance,
 #               12 alive (f32), 13 streams (u32 bitcast), 14 segments, 15 pad.
 
-LANE_BLOCK = 512  # rays per grid step (lanes)
+LANE_BLOCK = 512  # rays per grid step (lanes), streaming kernel
+# VMEM-resident scenes use wider blocks: the ~8 µs per-grid-step overhead
+# dominated small-scene traces (profiled 47% of the frame); 1024 lanes
+# halves the step count while (Kt, 1024) intermediates still fit VMEM.
+LANE_BLOCK_RESIDENT = 1024
 TRI_TILE_T = 256  # triangles per inner tile (sublanes); must equal the bake tile (bbox granularity)
 
 # Above this padded triangle count the transform bank no longer fits VMEM
@@ -301,17 +305,19 @@ TRI_TILE_T = 256  # triangles per inner tile (sublanes); must equal the bake til
 VMEM_RESIDENT_MAX_TRIS = 1 << 16
 
 
-def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref):
+def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
+                 sl=slice(None)):
     """Intersect one (13, Kt) transform tile against the lane rays and fold
     the winners into the running-nearest refs.  Shared by the VMEM-resident
-    and HBM-streaming trace kernels.
+    and HBM-streaming trace kernels.  ``sl`` restricts the update to a
+    static lane sub-range (sub-block predication).
 
     The six transform applications run as K=3 ``dot_general``s on the MXU
     (which is otherwise idle during tracing), halving the VPU load of the
     tile sweep; the t/u/v/cull tail stays on the VPU."""
     m = lambda r: rows[r][:, None]  # (Kt, 1) broadcast over lanes
-    o_mat = jnp.stack([ox, oy, oz], axis=0)  # (3, LB)
-    d_mat = jnp.stack([dx, dy, dz], axis=0)  # (3, LB)
+    o_mat = jnp.stack([ox[sl], oy[sl], oz[sl]], axis=0)  # (3, LB)
+    d_mat = jnp.stack([dx[sl], dy[sl], dz[sl]], axis=0)  # (3, LB)
     dn = (((0,), (0,)), ((), ()))  # contract the 3-axis, no batch dims
 
     def apply(row0, vec):
@@ -347,12 +353,12 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref):
     sel = ids == cand[None, :]
     u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
     v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
-    best_t = aux_ref[2, :]
+    best_t = aux_ref[2, sl]
     better = tile_min < best_t
-    aux_ref[2, :] = jnp.where(better, tile_min, best_t)
-    aux_ref[0, :] = jnp.where(better, u_sel, aux_ref[0, :])
-    aux_ref[1, :] = jnp.where(better, v_sel, aux_ref[1, :])
-    idx_ref[0, :] = jnp.where(better, s + cand, idx_ref[0, :])
+    aux_ref[2, sl] = jnp.where(better, tile_min, best_t)
+    aux_ref[0, sl] = jnp.where(better, u_sel, aux_ref[0, sl])
+    aux_ref[1, sl] = jnp.where(better, v_sel, aux_ref[1, sl])
+    idx_ref[0, sl] = jnp.where(better, s + cand, idx_ref[0, sl])
 
 
 def _init_trace_refs(state_ref, aux_ref, idx_ref):
@@ -366,23 +372,24 @@ def _init_trace_refs(state_ref, aux_ref, idx_ref):
     active = state_ref[12, :] > 0.0
     inv = (1.0 / dx, 1.0 / dy, 1.0 / dz)
 
-    aux_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)  # u
-    aux_ref[1, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)  # v
-    aux_ref[2, :] = jnp.full((LANE_BLOCK,), INF, jnp.float32)  # t (running)
+    lb = state_ref.shape[1]
+    aux_ref[0, :] = jnp.zeros((lb,), jnp.float32)  # u
+    aux_ref[1, :] = jnp.zeros((lb,), jnp.float32)  # v
+    aux_ref[2, :] = jnp.full((lb,), INF, jnp.float32)  # t (running)
     aux_ref[3, :] = state_ref[13, :]  # streams pass-through
     aux_ref[4, :] = state_ref[12, :]  # alive pass-through
-    aux_ref[5, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
-    aux_ref[6, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
-    aux_ref[7, :] = jnp.zeros((LANE_BLOCK,), jnp.float32)
-    idx_ref[0, :] = jnp.zeros((LANE_BLOCK,), jnp.int32)
+    aux_ref[5, :] = jnp.zeros((lb,), jnp.float32)
+    aux_ref[6, :] = jnp.zeros((lb,), jnp.float32)
+    aux_ref[7, :] = jnp.zeros((lb,), jnp.float32)
+    idx_ref[0, :] = jnp.zeros((lb,), jnp.int32)
     return (ox, oy, oz), (dx, dy, dz), inv, active
 
 
-def _cull_any(bbox_ref, j, o, inv, best, active):
-    """True iff any active ray's slab test against box column ``j`` passes
-    closer than its running best.  NaN-robust conservative form: a 0·inf NaN
-    (axis-parallel ray with origin on a slab plane) must NOT skip the box,
-    so the miss conditions are comparisons a NaN evaluates False."""
+def _cull_mask(bbox_ref, j, o, inv, best, active):
+    """Per-ray pass mask of the slab test against box column ``j`` vs the
+    running best.  NaN-robust conservative form: a 0·inf NaN (axis-parallel
+    ray with origin on a slab plane) must NOT skip the box, so the miss
+    conditions are comparisons a NaN evaluates False."""
     tx1 = (bbox_ref[0, j] - o[0]) * inv[0]
     tx2 = (bbox_ref[3, j] - o[0]) * inv[0]
     ty1 = (bbox_ref[1, j] - o[1]) * inv[1]
@@ -398,7 +405,11 @@ def _cull_any(bbox_ref, j, o, inv, best, active):
         jnp.maximum(tz1, tz2),
     )
     box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
-    return jnp.any(active & ~box_miss)
+    return active & ~box_miss
+
+
+def _cull_any(bbox_ref, j, o, inv, best, active):
+    return jnp.any(_cull_mask(bbox_ref, j, o, inv, best, active))
 
 
 DIST_BINS = 16  # front-to-back group ordering granularity
@@ -489,6 +500,9 @@ def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
 
     def visit_tile(jt, real):
         jc = jnp.minimum(jt, num_tiles - 1)  # clamp the SMEM bbox read
+        # (256-lane sub-block predication was tried here and measured WORSE
+        # — trace 364 → 442 ms/frame: the per-sub-block branch + reduce
+        # overhead exceeds the finer-cull savings.  Whole-block updates.)
         hit = real & _cull_any(bbox_ref, jc, o, inv, aux_ref[2, :], active)
 
         @pl.when(hit)
@@ -601,6 +615,12 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
     """
     R = state16.shape[1]
     assert R % LANE_BLOCK == 0, f"wave {R} not a multiple of {LANE_BLOCK}"
+    streaming = tris.tri_data.shape[1] > VMEM_RESIDENT_MAX_TRIS
+    lane_block = (
+        LANE_BLOCK_RESIDENT
+        if not streaming and R % LANE_BLOCK_RESIDENT == 0
+        else LANE_BLOCK
+    )
     # The kernels index per-tile bboxes by tile id — tile size and bake
     # granularity must agree.
     # tile_bbox covers REAL tiles; the bank is padded to whole groups so
@@ -609,9 +629,8 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
     assert tris.group_bbox.shape[1] == -(-real_tiles // GROUP_TILES)
     assert tris.tri_data.shape[1] >= real_tiles * TRI_TILE_T
     assert tris.tri_data.shape[1] % (TRI_TILE_T * GROUP_TILES) == 0
-    nb = R // LANE_BLOCK
+    nb = R // lane_block
 
-    streaming = tris.tri_data.shape[1] > VMEM_RESIDENT_MAX_TRIS
     kernel = _trace_kernel_t_hbm if streaming else _trace_kernel_t
     tri_space = pltpu.ANY if streaming else pltpu.VMEM
     num_groups = tris.group_bbox.shape[1]
@@ -621,14 +640,14 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
         interpret=interpret,
         scratch_shapes=[pltpu.SMEM((num_groups,), jnp.float32)],
         in_specs=[
-            pl.BlockSpec((16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0), memory_space=tri_space),
             pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(tris.group_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, R), jnp.float32),

@@ -286,15 +286,8 @@ def render_wave(
     pixel, x, y = wave_pixel_coords(local, spp, width, pix_base)
 
     jx, jy = rng.uniform2_soa(streams, 0)
-
-    # Camera.getRay (src/stage3.zig:27-35)
-    sx = (x + jx)[:, None]
-    sy = (y + jy)[:, None]
-    direction = linalg.normalize(cam_lower_left + cam_right * sx + cam_up * sy)
-    orig = jnp.broadcast_to(cam_origin, direction.shape)
-
-    alive = jnp.ones(R, dtype=bool)
-    segments = jnp.zeros(R, dtype=jnp.int32)
+    sx = x + jx
+    sy = y + jy
 
     # use_fused=None → auto: the fused Pallas pipeline on TPU, XLA shading
     # elsewhere.  An explicit True forces the fused kernels (interpret mode
@@ -315,21 +308,34 @@ def render_wave(
         # Fully fused bounce (ops/mxu_intersect.trace_emit_aux +
         # render/fused.shade_fused): ray state is ONE field-major (16, R)
         # tensor flowing kernel-to-kernel; per bounce only the record and
-        # texel gathers (+ transposes) run in XLA.
+        # texel gathers run in XLA.  Ray gen is ROW-WISE (same per-element
+        # float ops as Camera.getRay, src/stage3.zig:27-35) so no AoS
+        # buffers or transposes ever materialize.
         from .fused import shade_fused
         from ..ops.mxu_intersect import trace_emit_aux
 
         interpret = jax.default_backend() != "tpu"
 
-        state = jnp.concatenate(
+        dr = [
+            cam_lower_left[a] + cam_right[a] * sx + cam_up[a] * sy
+            for a in range(3)
+        ]
+        inv_len = 1.0 / jnp.sqrt(dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2])
+        ones = jnp.ones((R,), jnp.float32)
+        zeros = jnp.zeros((R,), jnp.float32)
+        state = jnp.stack(
             [
-                orig.T,
-                direction.T,
-                jnp.ones((3, R), jnp.float32),  # throughput
-                jnp.zeros((3, R), jnp.float32),  # radiance
-                jnp.ones((1, R), jnp.float32),  # alive
-                jax.lax.bitcast_convert_type(streams, jnp.float32)[None],
-                jnp.zeros((2, R), jnp.float32),  # segments, pad
+                cam_origin[0] * ones,
+                cam_origin[1] * ones,
+                cam_origin[2] * ones,
+                dr[0] * inv_len,
+                dr[1] * inv_len,
+                dr[2] * inv_len,
+                ones, ones, ones,  # throughput
+                zeros, zeros, zeros,  # radiance
+                ones,  # alive
+                jax.lax.bitcast_convert_type(streams, jnp.float32),
+                zeros, zeros,  # segments, pad
             ],
             axis=0,
         )
@@ -369,6 +375,13 @@ def render_wave(
             )
         return pixel, state[9:12].T, state[14].astype(jnp.int32)
 
+    # XLA shading path: AoS (R, 3) ray buffers (measured best off-TPU).
+    direction = linalg.normalize(
+        cam_lower_left + cam_right * sx[:, None] + cam_up * sy[:, None]
+    )
+    orig = jnp.broadcast_to(cam_origin, direction.shape)
+    alive = jnp.ones(R, dtype=bool)
+    segments = jnp.zeros(R, dtype=jnp.int32)
     radiance = jnp.zeros_like(direction)
     throughput = jnp.ones_like(direction)
     # NEE bookkeeping: emissive hit radiance counts only when the previous
