@@ -109,3 +109,19 @@ def test_uneven_pixel_tiles(box):
     single, _ = render_scene(scene, cam, cfg)
     sharded, _ = render_scene_sharded(scene, cam, cfg, make_mesh(3))
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_extensions_under_shard_map(box):
+    """NEE + RR inside shard_map: bit-identical to the single-device
+    extension render (per-ray counter RNG, same light table)."""
+    from zig_raytracing_contest_tpu.render.pipeline import render_scene as rs
+
+    cam, scene = box
+    cfg = Config(
+        num_samples=2, max_bounce=3, seed=9, wave_size=2048,
+        nee=True, russian_roulette=True,
+    )
+    single, stats_s = rs(scene, cam, cfg)
+    sharded, stats_m = render_scene_sharded(scene, cam, cfg, make_mesh(4))
+    np.testing.assert_array_equal(single, sharded)
+    assert stats_s.segments == stats_m.segments

@@ -300,9 +300,13 @@ LANE_BLOCK_RESIDENT = 1024
 TRI_TILE_T = 256  # triangles per inner tile (sublanes); must equal the bake tile (bbox granularity)
 
 # Above this padded triangle count the transform bank no longer fits VMEM
-# comfortably; the streaming kernel keeps it in HBM and DMAs only the tiles
-# that survive the block-level AABB cull.
-VMEM_RESIDENT_MAX_TRIS = 1 << 16
+# (16 MB/core: a 2^17-triangle bank is 8.4 MB, leaving ~5.5 MB for the
+# (Kt, 512) tile-update intermediates); the streaming kernel keeps it in
+# HBM and DMAs only the tiles that survive the group-level AABB cull.
+VMEM_RESIDENT_MAX_TRIS = 1 << 17
+# Banks above this share VMEM with the intermediates, so resident traces
+# drop to 512-lane blocks.
+VMEM_WIDE_BLOCK_MAX_TRIS = 1 << 16
 
 
 def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
@@ -618,7 +622,9 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
     streaming = tris.tri_data.shape[1] > VMEM_RESIDENT_MAX_TRIS
     lane_block = (
         LANE_BLOCK_RESIDENT
-        if not streaming and R % LANE_BLOCK_RESIDENT == 0
+        if not streaming
+        and tris.tri_data.shape[1] <= VMEM_WIDE_BLOCK_MAX_TRIS
+        and R % LANE_BLOCK_RESIDENT == 0
         else LANE_BLOCK
     )
     # The kernels index per-tile bboxes by tile id — tile size and bake

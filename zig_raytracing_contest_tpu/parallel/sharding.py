@@ -53,6 +53,7 @@ def make_mesh(num_devices: int | None = None) -> Mesh:
         "pix_per_dev",
         "waves_per_dev",
         "use_fused",
+        "ext",
     ),
 )
 def _render_sharded(
@@ -73,6 +74,7 @@ def _render_sharded(
     pix_per_dev: int,
     waves_per_dev: int,
     use_fused: bool | None = None,
+    ext=None,
 ):
     wave_pixels = wave_size // spp
 
@@ -102,6 +104,7 @@ def _render_sharded(
                 base_key,
                 pix_base=pix_wave,
                 use_fused=use_fused,
+                ext=ext,
             )
             # Scatter-free accumulation (see wavefront.accumulate_wave):
             # zero rays past this device's tile or the real image, sum the
@@ -153,6 +156,9 @@ def render_scene_sharded(
 ):
     """Multi-device render; bit-identical to the single-device path."""
     timers = timers or PhaseTimers()
+    ext = config.ext_flags
+    if not ext.any:
+        ext = None
     mesh = mesh or make_mesh()
     n = mesh.devices.size
     w, h, spp = camera.width, camera.height, config.num_samples
@@ -207,6 +213,7 @@ def render_scene_sharded(
             pix_per_dev=pix_per_dev,
             waves_per_dev=waves_per_dev,
             use_fused=use_fused,
+            ext=ext,
         )
         # Strip per-device padding, then global padding.
         fb_np = np.asarray(fb).reshape(n, fb_rows_per_dev, 3)[:, :pix_per_dev]
