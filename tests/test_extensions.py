@@ -162,3 +162,35 @@ def test_extensions_reject_forced_fused(box):
             scene, cam, Config(num_samples=1, max_bounce=1, nee=True),
             use_fused=True,
         )
+
+
+def test_nee_two_sided_geometry_no_self_shadow(tmp_path):
+    """Shadow rays must lift off along the shading normal: geometry authored
+    two-sided (back-to-back quads, as the reference's single-sided triangles
+    require) would otherwise self-occlude every NEE sample and the floor
+    would lose all direct light."""
+    b = procedural.SceneBuilder()
+    # Dim materials: a saturating scene would clip the noisier plain
+    # estimator's bright samples and bias the mean comparison.
+    white = b.add_material(base_color_factor=(0.35, 0.35, 0.35, 1))
+    light = b.add_material(base_color_factor=(0, 0, 0, 1), emissive_factor=(3, 3, 3))
+    for flip in (1, -1):  # two-sided floor
+        p, i, n, t = procedural.quad((0, -1, 0), (2, 0, 0), (0, 0, -2 * flip))
+        b.add_mesh_node(p, i, white, normals=n, texcoords=t)
+    p, i, n, t = procedural.quad((0, 1.5, 0), (1, 0, 0), (0, 0, 1))
+    b.add_mesh_node(p, i, light, normals=n, texcoords=t)
+    b.add_camera_node((0, 0.5, 3), (0, -0.5, 0), yfov=0.8, name="c")
+    gltf = load_gltf(b.write_gltf(tmp_path / "ts.gltf"))
+    cam = load_camera(gltf, width=24, height=24)
+    geo = load_geometry(gltf)
+    scene = build_device_scene(
+        geo, build_grid(geo.positions, (4, 4, 4)), load_materials(gltf)
+    )
+    plain, _ = _mean_img(scene, cam, Config(num_samples=48, max_bounce=3, seed=4))
+    nee, _ = _mean_img(
+        scene, cam, Config(num_samples=48, max_bounce=3, seed=4, nee=True)
+    )
+    # Self-shadowing would kill the direct term: NEE floor must be at least
+    # comparably bright to the plain estimator's.
+    assert nee.mean() > plain.mean() * 0.85
+    assert abs(nee.mean() - plain.mean()) / max(plain.mean(), 1) < 0.1

@@ -179,6 +179,9 @@ def render_scene_sharded(
         quantum,
         min(config.wave_size, rays_per_dev + quantum - 1) // quantum * quantum,
     )
+    # Exact-f32 wave-local ray math bounds a wave at 2^23 rays (see
+    # render/pipeline.py).
+    wave_size = min(wave_size, (1 << 23) // quantum * quantum)
     waves_per_dev = -(-rays_per_dev // wave_size)
     # Per-device framebuffer padded to whole waves.
     fb_rows_per_dev = waves_per_dev * (wave_size // spp)

@@ -125,6 +125,11 @@ def sample_direct_light(scene, x, n, albedo, throughput, streams, bounce, shaded
     cos_y = jnp.sum(lights.normal[li] * -wi, axis=-1)
     facing = shaded & (cos_x > 0.0) & (cos_y > 0.0) & (dist_sq > 1e-12)
 
+    # Shadow origin: lift off the surface along the SHADING NORMAL — ``x``
+    # arrived offset along the incoming direction (ε *below* the surface),
+    # where a two-sided twin quad would self-occlude every shadow ray.
+    x = x + n * 1e-4
+
     # Emitted radiance at y: the light's emissive texture at interpolated uv.
     from ..scene.types import COL_EMIS_DESC, COL_UV
 

@@ -107,6 +107,9 @@ def render_scene(
     wave_size = max(
         quantum, min(config.wave_size, total_rays + quantum - 1) // quantum * quantum
     )
+    # Wave-local ray ids use exact-f32 divmod: cap at 2^23 (a user-set
+    # wave_size past that would silently corrupt pixel indices).
+    wave_size = min(wave_size, (1 << 23) // quantum * quantum)
     num_waves = -(-total_rays // wave_size)
     wave_pixels = wave_size // spp
     fb_rows = num_waves * wave_pixels  # padded framebuffer
