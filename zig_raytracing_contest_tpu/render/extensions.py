@@ -23,17 +23,18 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import linalg, rng
 from ..ops.texture import sample_texture
 
-# RNG tag bases — disjoint from the core tags (0 = jitter, 2b+1 = alpha,
-# 2b+2 = scatter gaussian, b < 32).
-TAG_RR = 100
-TAG_NEE = 200
-TAG_PBR = 300
+# RNG tag bases — far above the core tags (0 = jitter, 2b+1 = alpha,
+# 2b+2 = scatter gaussian) for ANY realistic max_bounce.
+TAG_RR = 1 << 20
+TAG_NEE = 1 << 21
+TAG_PBR = 1 << 22
 
 
 class ExtFlags(NamedTuple):
@@ -121,6 +122,9 @@ def sample_direct_light(scene, x, n, albedo, throughput, streams, bounce, shaded
     dist = jnp.sqrt(dist_sq)
     wi = wi / jnp.maximum(dist, 1e-20)[:, None]
 
+    # Unit shading normal: barycentric interpolation shrinks vertex normals
+    # on curved meshes, which would silently scale the cosine term.
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1))[:, None]
     cos_x = jnp.sum(n * wi, axis=-1)
     cos_y = jnp.sum(lights.normal[li] * -wi, axis=-1)
     facing = shaded & (cos_x > 0.0) & (cos_y > 0.0) & (dist_sq > 1e-12)
