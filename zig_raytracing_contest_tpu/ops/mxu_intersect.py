@@ -188,10 +188,10 @@ def _intersect_tile(ox, oy, oz, dx, dy, dz, rows):
     u = ou + t * du
     v = ov + t * dv
     det = -dw * m(12)
+    # (u <= 1 is implied: with v >= 0, any u > 1 makes u+v round to > 1.)
     ok = (
         (det >= MT_EPSILON)
         & (u >= 0.0)
-        & (u <= 1.0)
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > 0.0)
@@ -342,10 +342,10 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
     u = ou + t * du
     v = ov + t * dv
     det = -dw * m(12)
+    # (u <= 1 is implied: with v >= 0, any u > 1 makes u+v round to > 1.)
     ok = (
         (det >= MT_EPSILON)
         & (u >= 0.0)
-        & (u <= 1.0)
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > 0.0)
