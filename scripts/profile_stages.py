@@ -95,7 +95,7 @@ def main():
         st_sorted = sort_fn(st)
         t_tr = best_time(lambda: trace(st))
         t_trs = best_time(lambda: trace(st_sorted))
-        aux, tri = trace(st_sorted)
+        aux, tri, _ = trace(st_sorted)
         t_sh = best_time(lambda: shade_fused(scene, st_sorted, aux, tri, 1))
         t_so = best_time(lambda: sort_fn(st))
         mr = R / 1e6

@@ -91,7 +91,7 @@ def test_trace_emit_aux_matches_trace_any(scene_and_rays):
     state = make_state16(
         orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
     )
-    aux, idx_m = trace_emit_aux(scene.mxu, state, interpret=True)
+    aux, idx_m, _ = trace_emit_aux(scene.mxu, state, interpret=True)
     t, u, v, tri = trace_any(scene, orig, direction, alive)
 
     np.testing.assert_allclose(np.asarray(aux[2]), np.asarray(t), atol=1e-5)
@@ -138,7 +138,7 @@ def test_fused_matches_xla_shading(scene_and_rays):
     # --- fused path (interpret mode on CPU); trace kernel supplies aux
     # and Morton-space ids, which must agree with the XLA trace results.
     state = make_state16(orig, direction, throughput, radiance, alive, streams)
-    aux, idx_m = trace_emit_aux(scene.mxu, state, interpret=True)
+    aux, idx_m, _ = trace_emit_aux(scene.mxu, state, interpret=True)
     new_state = jax.jit(
         lambda s, a: shade_fused(scene, s, a, idx_m, bounce, interpret=True)
     )(state, aux)
@@ -171,13 +171,41 @@ def test_fused_dead_rays_stay_dead(scene_and_rays):
     state = make_state16(
         orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
     )
-    aux, tri = trace_emit_aux(scene.mxu, state, interpret=True)
+    aux, tri, _ = trace_emit_aux(scene.mxu, state, interpret=True)
     new_state = shade_fused(scene, state, aux, tri, 0, interpret=True)
     assert not bool((new_state[12] > 0).any())
     np.testing.assert_array_equal(
         np.asarray(new_state[9:12]), np.zeros((3, R), np.float32)
     )
     np.testing.assert_array_equal(np.asarray(new_state[14]), np.zeros(R, np.float32))
+
+
+def test_trace_emitted_records_match_gather(scene_and_rays):
+    """The one-hot-MXU record output of the resident trace kernel must be
+    bit-identical to the XLA gather it replaces (hit rays; missed rays get
+    all-zero records, masked downstream), and the shaded state must match
+    exactly with either record source."""
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(11), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    aux, idx_m, rec = trace_emit_aux(
+        scene.mxu, state, rec_table=scene.shade_table_t, interpret=True
+    )
+    assert rec is not None and rec.shape == (24, R)
+    gathered = jnp.take(scene.shade_table_t, idx_m, axis=1)
+    hit = np.isfinite(np.asarray(aux[2]))
+    np.testing.assert_array_equal(
+        np.asarray(rec)[:, hit], np.asarray(gathered)[:, hit]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rec)[:, ~hit], np.zeros((24, int((~hit).sum())), np.float32)
+    )
+    out_rec = shade_fused(scene, state, aux, idx_m, 1, interpret=True, rec=rec)
+    out_gat = shade_fused(scene, state, aux, idx_m, 1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_rec), np.asarray(out_gat))
 
 
 def test_streaming_trace_matches_resident(scene_and_rays, monkeypatch):
@@ -191,10 +219,10 @@ def test_streaming_trace_matches_resident(scene_and_rays, monkeypatch):
     state = make_state16(
         orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
     )
-    aux_a, idx_a = trace_emit_aux(scene.mxu, state, interpret=True)
+    aux_a, idx_a, _ = trace_emit_aux(scene.mxu, state, interpret=True)
     monkeypatch.setattr(mi, "VMEM_RESIDENT_MAX_TRIS", 0)  # force streaming
     trace_emit_aux._clear_cache()
-    aux_b, idx_b = trace_emit_aux(scene.mxu, state, interpret=True)
+    aux_b, idx_b, _ = trace_emit_aux(scene.mxu, state, interpret=True)
     trace_emit_aux._clear_cache()
     np.testing.assert_array_equal(np.asarray(aux_a), np.asarray(aux_b))
     np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))

@@ -52,6 +52,13 @@ import numpy as np
 MT_EPSILON = 1e-8
 INF = jnp.inf
 
+# Transform-application matmul precision (see _tile_update.apply): Mosaic's
+# DEFAULT is single-pass bf16 — measured 1.3e-3 median t error and 2.2%
+# wrong winners on-chip, unacceptable.  Tunable here for measurement.
+_TRANSFORM_PRECISION = jax.lax.Precision.HIGHEST
+# "mxu" (dot_general at _TRANSFORM_PRECISION) or "vpu" (exact elementwise).
+_TRANSFORM_MODE = "vpu"
+
 TRI_TILE = 256  # triangles per inner tile / bbox granularity (lane-aligned)
 
 # tri_data row layout: 9 rows of M (row-major), 3 rows of c, 1 row of |n|²,
@@ -310,7 +317,7 @@ VMEM_WIDE_BLOCK_MAX_TRIS = 1 << 16
 
 
 def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
-                 sl=slice(None)):
+                 sl=slice(None), table_rows=None, rec_ref=None):
     """Intersect one (13, Kt) transform tile against the lane rays and fold
     the winners into the running-nearest refs.  Shared by the VMEM-resident
     and HBM-streaming trace kernels.  ``sl`` restricts the update to a
@@ -318,26 +325,52 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
 
     The six transform applications run as K=3 ``dot_general``s on the MXU
     (which is otherwise idle during tracing), halving the VPU load of the
-    tile sweep; the t/u/v/cull tail stays on the VPU."""
+    tile sweep; the t/u/v/cull tail stays on the VPU.
+
+    When ``table_rows``/``rec_ref`` are given (the record-emitting resident
+    kernel), the winner's packed shade record is extracted with ONE one-hot
+    MXU matmul over the already-materialized ``sel`` mask — replacing the
+    XLA (24, R) record gather the profiler showed costing more than the
+    shade kernels themselves.  A one-hot f32 matmul is bit-exact: every
+    output element is 1.0·x + Σ 0.0·y (verified on-chip,
+    tests/test_fused.py)."""
     m = lambda r: rows[r][:, None]  # (Kt, 1) broadcast over lanes
     o_mat = jnp.stack([ox[sl], oy[sl], oz[sl]], axis=0)  # (3, LB)
     d_mat = jnp.stack([dx[sl], dy[sl], dz[sl]], axis=0)  # (3, LB)
     dn = (((0,), (0,)), ((), ()))  # contract the 3-axis, no batch dims
 
     def apply(row0, vec):
+        # Mosaic's DEFAULT in-kernel matmul is single-pass bf16, which
+        # would silently truncate the geometry to ~8 mantissa bits
+        # (discovered on-chip round 2: median 1.3e-3 t error, 2.2% wrong
+        # winners).  HIGHEST (multi-pass f32) keeps the intersection within
+        # f32 rounding of the elementwise path.
         return jax.lax.dot_general(
             rows[row0 : row0 + 3],  # (3, Kt)
             vec,  # (3, LB)
             dimension_numbers=dn,
             preferred_element_type=jnp.float32,
+            precision=_TRANSFORM_PRECISION,
         )  # (Kt, LB)
 
-    ou = apply(0, o_mat) + m(9)
-    ov = apply(3, o_mat) + m(10)
-    ow = apply(6, o_mat) + m(11)
-    du = apply(0, d_mat)
-    dv = apply(3, d_mat)
-    dw = apply(6, d_mat)
+    if _TRANSFORM_MODE == "vpu":
+        # Exact-f32 broadcasted FMA on the VPU (same op sequence as the
+        # XLA oracle's _intersect_tile, transposed).
+        o0, o1, o2 = ox[sl], oy[sl], oz[sl]
+        d0, d1, d2 = dx[sl], dy[sl], dz[sl]
+        ou = m(0) * o0 + m(1) * o1 + m(2) * o2 + m(9)
+        ov = m(3) * o0 + m(4) * o1 + m(5) * o2 + m(10)
+        ow = m(6) * o0 + m(7) * o1 + m(8) * o2 + m(11)
+        du = m(0) * d0 + m(1) * d1 + m(2) * d2
+        dv = m(3) * d0 + m(4) * d1 + m(5) * d2
+        dw = m(6) * d0 + m(7) * d1 + m(8) * d2
+    else:
+        ou = apply(0, o_mat) + m(9)
+        ov = apply(3, o_mat) + m(10)
+        ow = apply(6, o_mat) + m(11)
+        du = apply(0, d_mat)
+        dv = apply(3, d_mat)
+        dw = apply(6, d_mat)
     t = -ow / dw
     u = ou + t * du
     v = ov + t * dv
@@ -363,6 +396,19 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
     aux_ref[0, sl] = jnp.where(better, u_sel, aux_ref[0, sl])
     aux_ref[1, sl] = jnp.where(better, v_sel, aux_ref[1, sl])
     idx_ref[0, sl] = jnp.where(better, s + cand, idx_ref[0, sl])
+    if rec_ref is not None:
+        # (24, Kt) · one-hot (Kt, LB) on the MXU → the winner's record.
+        tile_rec = jax.lax.dot_general(
+            table_rows,
+            sel.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # HIGHEST (3-term bf16 split) makes 1.0·x reconstruct all 24
+            # mantissa bits — bit-exact one-hot extraction (verified
+            # on-chip, scripts/check_onehot_tpu.py).
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (24, LB)
+        rec_ref[:, sl] = jnp.where(better[None, :], tile_rec, rec_ref[:, sl])
 
 
 def _init_trace_refs(state_ref, aux_ref, idx_ref):
@@ -495,12 +541,14 @@ def _front_to_back_groups(gbox_ref, num_groups, o, inv, active, aux_ref,
 F2B_MIN_GROUPS = 8
 
 
-def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
-                    tmin_ref):
+def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
+                         idx_ref, tmin_ref, table_ref=None, rec_ref=None):
     Tp = tri_ref.shape[1]
     num_tiles = bbox_ref.shape[1]  # REAL tiles (loop bound)
     num_groups = gbox_ref.shape[1]
     o, d, inv, active = _init_trace_refs(state_ref, aux_ref, idx_ref)
+    if rec_ref is not None:
+        rec_ref[:, :] = jnp.zeros(rec_ref.shape, jnp.float32)
 
     def visit_tile(jt, real):
         jc = jnp.minimum(jt, num_tiles - 1)  # clamp the SMEM bbox read
@@ -516,6 +564,12 @@ def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             _tile_update(
                 rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
                 aux_ref, idx_ref,
+                table_rows=(
+                    table_ref[:, pl.ds(s, TRI_TILE_T)]
+                    if table_ref is not None
+                    else None
+                ),
+                rec_ref=rec_ref,
             )
 
     if num_groups < F2B_MIN_GROUPS:
@@ -536,6 +590,21 @@ def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
 
     _front_to_back_groups(
         gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref, process_group
+    )
+
+
+def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
+                    tmin_ref):
+    _trace_body_resident(
+        state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref, tmin_ref
+    )
+
+
+def _trace_kernel_t_rec(state_ref, tri_ref, bbox_ref, gbox_ref, table_ref,
+                        aux_ref, idx_ref, rec_ref, tmin_ref):
+    _trace_body_resident(
+        state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref, tmin_ref,
+        table_ref, rec_ref,
     )
 
 
@@ -609,17 +678,39 @@ def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref,
     )
 
 
+# Resident banks up to this many padded triangles also emit the winner's
+# packed shade record from inside the trace kernel (one-hot MXU matmul per
+# tile), eliminating the XLA (24, R) record gather.  VMEM bound: bank
+# 16 rows + table 24 rows at 2^15 tris ≈ 5.2 MB, leaving room for the
+# (Kt, LB) intermediates.
+REC_EMIT_MAX_TRIS = 1 << 15
+
+
 @partial(jax.jit, static_argnames=("interpret",))
-def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
-    """Field-major nearest hit: (16, R) state → (aux (8, R), idx_m (R,)).
+def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
+                   interpret: bool = False):
+    """Field-major nearest hit: (16, R) state → (aux (8, R), idx_m (R,),
+    rec (24, R) | None).
 
     aux is ready for render/fused.py (u, v, t, streams, alive rows filled);
     ``idx_m`` is the MORTON-space triangle index — the fused pipeline's
     shade_table_t is pre-permuted into the same order, so no perm gather.
+
+    ``rec_table`` (the (24, Tp) Morton-ordered packed shade table,
+    scene/types.py shade_table_t): when given and the bank is small enough
+    (REC_EMIT_MAX_TRIS, resident regime), the kernel also emits each ray's
+    winning record directly — rec is None otherwise and the caller falls
+    back to the XLA gather.  Missed rays get an all-zero record (masked by
+    alive/missed downstream exactly like the gather path's tri_m = 0 row).
     """
     R = state16.shape[1]
     assert R % LANE_BLOCK == 0, f"wave {R} not a multiple of {LANE_BLOCK}"
     streaming = tris.tri_data.shape[1] > VMEM_RESIDENT_MAX_TRIS
+    emit_rec = (
+        rec_table is not None
+        and not streaming
+        and tris.tri_data.shape[1] <= REC_EMIT_MAX_TRIS
+    )
     lane_block = (
         LANE_BLOCK_RESIDENT
         if not streaming
@@ -637,28 +728,48 @@ def trace_emit_aux(tris: MXUTriangles, state16, interpret: bool = False):
     assert tris.tri_data.shape[1] % (TRI_TILE_T * GROUP_TILES) == 0
     nb = R // lane_block
 
-    kernel = _trace_kernel_t_hbm if streaming else _trace_kernel_t
     tri_space = pltpu.ANY if streaming else pltpu.VMEM
     num_groups = tris.group_bbox.shape[1]
-    aux, idx_m = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((16, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0), memory_space=tri_space),
+        pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tris.group_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((8, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, R), jnp.float32),
+        jax.ShapeDtypeStruct((1, R), jnp.int32),
+    ]
+    operands = [state16, tris.tri_data, tris.tile_bbox, tris.group_bbox]
+    if emit_rec:
+        kernel = _trace_kernel_t_rec
+        in_specs.append(
+            pl.BlockSpec(rec_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        out_specs.append(
+            pl.BlockSpec((24, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((24, R), jnp.float32))
+        operands.append(rec_table)
+    else:
+        kernel = _trace_kernel_t_hbm if streaming else _trace_kernel_t
+
+    out = pl.pallas_call(
         kernel,
         grid=(nb,),
         interpret=interpret,
         scratch_shapes=[pltpu.SMEM((num_groups,), jnp.float32)],
-        in_specs=[
-            pl.BlockSpec((16, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0), memory_space=tri_space),
-            pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(tris.group_bbox.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((8, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, R), jnp.float32),
-            jax.ShapeDtypeStruct((1, R), jnp.int32),
-        ],
-    )(state16, tris.tri_data, tris.tile_bbox, tris.group_bbox)
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*operands)
 
-    return aux, idx_m[0]
+    if emit_rec:
+        aux, idx_m, rec = out
+        return aux, idx_m[0], rec
+    aux, idx_m = out
+    return aux, idx_m[0], None

@@ -92,11 +92,11 @@ def _make_prep_kernel(emissive_dummy: bool, block_skip: bool):
     return _prep_kernel
 
 
-def _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
-    u = aux_ref[0, :]
-    v = aux_ref[1, :]
+def _prep_math(rec, u, v, emissive_dummy: bool):
+    """Interpolation + texture-index math shared by the 3-stage prep kernel
+    and the single-kernel shade.  ``rec`` is an accessor row → (B,) values.
+    Returns (idx rows list[8], svec rows list[8]) as values."""
     w0 = 1.0 - u - v
-    rec = lambda k: rec_ref[k, :]
 
     tc_u = rec(PCOL_UV + 0) * w0 + rec(PCOL_UV + 2) * u + rec(PCOL_UV + 4) * v
     tc_v = rec(PCOL_UV + 1) * w0 + rec(PCOL_UV + 3) * u + rec(PCOL_UV + 5) * v
@@ -104,7 +104,7 @@ def _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
     ny = rec(PCOL_NRM + 1) * w0 + rec(PCOL_NRM + 4) * u + rec(PCOL_NRM + 7) * v
     nz = rec(PCOL_NRM + 2) * w0 + rec(PCOL_NRM + 5) * u + rec(PCOL_NRM + 8) * v
 
-    def tex_indices(d, row0):
+    def tex_indices(d):
         # Packed descriptor (scene/types.py build_packed_record):
         # [offset, ±w, ±h, scale], sign = repeat wrap on that axis; clamp
         # bounds are always [0, size-1].
@@ -118,30 +118,37 @@ def _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
         w_i = wf.astype(jnp.int32)
         x1i, x2i = x1.astype(jnp.int32), x2.astype(jnp.int32)
         y1w, y2w = y1.astype(jnp.int32) * w_i, y2.astype(jnp.int32) * w_i
-        idx_ref[row0 + 0, :] = off + y1w + x1i
-        idx_ref[row0 + 1, :] = off + y1w + x2i
-        idx_ref[row0 + 2, :] = off + y2w + x1i
-        idx_ref[row0 + 3, :] = off + y2w + x2i
+        return [off + y1w + x1i, off + y1w + x2i, off + y2w + x1i,
+                off + y2w + x2i]
 
-    tex_indices(PCOL_BASE, 0)
+    idx = tex_indices(PCOL_BASE)
     if emissive_dummy:
         # Every emissive entry is a 1×1 dummy: its only texel sits at the
         # descriptor offset — one fetch instead of four bilinear corners.
-        idx_ref[4, :] = rec(PCOL_EMIS).astype(jnp.int32)
-        for k in range(5, 8):
-            idx_ref[k, :] = jnp.zeros_like(idx_ref[4, :])
+        zero = jnp.zeros_like(idx[0])
+        idx += [rec(PCOL_EMIS).astype(jnp.int32), zero, zero, zero]
     else:
-        tex_indices(PCOL_EMIS, 4)
+        idx += tex_indices(PCOL_EMIS)
 
-    svec_ref[0, :] = nx
-    svec_ref[1, :] = ny
-    svec_ref[2, :] = nz
-    svec_ref[3, :] = jnp.abs(tc_u - jnp.trunc(tc_u))
-    svec_ref[4, :] = jnp.abs(tc_v - jnp.trunc(tc_v))
-    # u16 dequant multipliers of the two textures
-    svec_ref[5, :] = rec(PCOL_BASE + 3)
-    svec_ref[6, :] = rec(PCOL_EMIS + 3)
-    svec_ref[7, :] = jnp.zeros_like(tc_u)
+    svec = [
+        nx, ny, nz,
+        jnp.abs(tc_u - jnp.trunc(tc_u)),
+        jnp.abs(tc_v - jnp.trunc(tc_v)),
+        # u16 dequant multipliers of the two textures
+        rec(PCOL_BASE + 3),
+        rec(PCOL_EMIS + 3),
+        jnp.zeros_like(tc_u),
+    ]
+    return idx, svec
+
+
+def _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
+    idx, svec = _prep_math(
+        lambda k: rec_ref[k, :], aux_ref[0, :], aux_ref[1, :], emissive_dummy
+    )
+    for k in range(8):
+        idx_ref[k, :] = idx[k]
+        svec_ref[k, :] = svec[k]
 
 
 def _make_shade_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
@@ -154,11 +161,22 @@ def _make_shade_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
         # input/index shapes and a source spanning ONE vreg along the
         # gather dimension — "Multiple source vregs along gather dimension:
         # Not implemented".  See docs/PERFORMANCE.md.)
-        def fetch_all():
-            return tex_ref[0:n_texels, :], tex_ref[n_texels : 2 * n_texels, :]
+        def get_texel(texel):
+            lo = tex_ref[texel, :]
+            hi = tex_ref[n_texels + texel, :]
+            return (
+                (lo & 0xFFFF).astype(jnp.float32),
+                jax.lax.shift_right_logical(lo, 16).astype(jnp.float32),
+                (hi & 0xFFFF).astype(jnp.float32),
+                jax.lax.shift_right_logical(hi, 16).astype(jnp.float32),
+            )
 
+        sv = lambda k: svec_ref[k, :]
         if not block_skip:
-            return _shade_live(aux_ref, svec_ref, fetch_all, state_ref, out_state_ref)
+            return _shade_live(
+                aux_ref, sv, get_texel, state_ref, out_state_ref,
+                bounce, emissive_dummy,
+            )
         alive = aux_ref[4, :] > 0.0
         alive_any = jnp.any(alive)
 
@@ -170,35 +188,39 @@ def _make_shade_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
 
         @pl.when(alive_any)
         def _():
-            _shade_live(aux_ref, svec_ref, fetch_all, state_ref, out_state_ref)
+            _shade_live(
+                aux_ref, sv, get_texel, state_ref, out_state_ref,
+                bounce, emissive_dummy,
+            )
 
-    def _shade_live(aux_ref, svec_ref, fetch_all, state_ref, out_state_ref):
+    return _shade_kernel
+
+
+def _shade_live(aux_ref, sv, get_texel, state_ref, out_state_ref,
+                bounce: int, emissive_dummy: bool):
+    """Shading core shared by the 3-stage and single-kernel paths.
+
+    ``sv(k)`` reads svec row k; ``get_texel(i)`` returns texel i's four
+    channels as u16-VALUED f32 (pre-dequant — identical values whether
+    unpacked from the int32-packed gather or extracted by one-hot matmul).
+    Dequantize each channel FIRST (f32(u16) * scale — the exact f32 product
+    the bank bakes, materials._quantize_bank), then bilinear in the same
+    order as ops/texture.py: bit-identical to the XLA path."""
+    if True:
         t = aux_ref[2, :]
         streams = pltpu.bitcast(aux_ref[3:4, :], jnp.uint32)[0, :]
         alive = aux_ref[4, :] > 0.0
         missed = ~(t < jnp.inf)
 
-        fu = svec_ref[3, :]
-        fv = svec_ref[4, :]
-
-        # Texels are u16×2-packed int32 (half 0 = R|G<<16, half 1 = B|A<<16).
-        # Dequantize each texel channel FIRST (f32(u16) * scale — the exact
-        # f32 product the bank bakes, materials._quantize_bank), then
-        # bilinear in the same order as ops/texture.py: bit-identical to the
-        # XLA path, with half the gathered elements.
-        lo_all, hi_all = fetch_all()
+        fu = sv(3)
+        fv = sv(4)
 
         def dequant4(texel, scale):
-            lo, hi = lo_all[texel, :], hi_all[texel, :]
-            return (
-                (lo & 0xFFFF).astype(jnp.float32) * scale,
-                jax.lax.shift_right_logical(lo, 16).astype(jnp.float32) * scale,
-                (hi & 0xFFFF).astype(jnp.float32) * scale,
-                jax.lax.shift_right_logical(hi, 16).astype(jnp.float32) * scale,
-            )
+            r, g, b, a = get_texel(texel)
+            return (r * scale, g * scale, b * scale, a * scale)
 
-        base_scale = svec_ref[5, :]
-        emis_scale = svec_ref[6, :]
+        base_scale = sv(5)
+        emis_scale = sv(6)
         p11 = dequant4(0, base_scale)
         p21 = dequant4(1, base_scale)
         p12 = dequant4(2, base_scale)
@@ -246,9 +268,9 @@ def _make_shade_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
         gy = r1 * jnp.sin(_TWO_PI * u2)
         gz = r2 * jnp.cos(_TWO_PI * u4)
         g_inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz)
-        swx = svec_ref[0, :] + gx * g_inv
-        swy = svec_ref[1, :] + gy * g_inv
-        swz = svec_ref[2, :] + gz * g_inv
+        swx = sv(0) + gx * g_inv
+        swy = sv(1) + gy * g_inv
+        swz = sv(2) + gz * g_inv
         s_inv = jax.lax.rsqrt(swx * swx + swy * swy + swz * swz)
 
         ox = state_ref[0, :]
@@ -303,7 +325,81 @@ def _make_shade_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
         out_state_ref[14, :] = state_ref[14, :] + jnp.where(alive, 1.0, 0.0)
         out_state_ref[15, :] = jnp.zeros_like(t)
 
-    return _shade_kernel
+
+# Lane-chunk width of the in-kernel one-hot texel fetch: bounds the
+# (Pp, ONEHOT_CHUNK) one-hot transient (2 MB at the ONEHOT_MAX_TEXELS cap).
+ONEHOT_CHUNK = 512
+
+
+def _make_shade1_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
+    """Single-kernel bounce shading for small texel banks: prep math,
+    texel fetch AND shading in one Pallas call, so nothing runs in XLA
+    between the trace kernel and the new ray state.
+
+    The texel "gather" is a per-chunk one-hot matmul against the VMEM-
+    resident (4, Pp) u16-valued bank — bit-exact at HIGHEST precision
+    (1.0·x reconstructs u16 integers exactly; verified on-chip) and
+    identical to the packed-gather path's unpacked channels."""
+    n_idx = 5 if emissive_dummy else 8
+
+    def _shade1_kernel(rec_ref, aux_ref, state_ref, bank_ref, out_state_ref):
+        def live():
+            idx, svec = _prep_math(
+                lambda k: rec_ref[k, :], aux_ref[0, :], aux_ref[1, :],
+                emissive_dummy,
+            )
+            Pp = bank_ref.shape[1]
+            B = rec_ref.shape[1]
+
+            def fetch(indices):  # (B,) int32 → (4, B) f32 u16-valued
+                chunks = []
+                for c0 in range(0, B, ONEHOT_CHUNK):
+                    ii = indices[c0 : c0 + ONEHOT_CHUNK]
+                    onehot = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (Pp, ONEHOT_CHUNK), 0
+                        )
+                        == ii[None, :]
+                    ).astype(jnp.float32)
+                    chunks.append(
+                        jax.lax.dot_general(
+                            bank_ref[:, :],
+                            onehot,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                    )
+                return (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else jnp.concatenate(chunks, axis=1)
+                )
+
+            texf = [fetch(idx[k]) for k in range(n_idx)]
+            _shade_live(
+                aux_ref,
+                lambda k: svec[k],
+                lambda i: (texf[i][0], texf[i][1], texf[i][2], texf[i][3]),
+                state_ref,
+                out_state_ref,
+                bounce,
+                emissive_dummy,
+            )
+
+        if not block_skip:
+            return live()
+        alive_any = jnp.any(aux_ref[4, :] > 0.0)
+
+        @pl.when(~alive_any)
+        def _():
+            out_state_ref[:, :] = state_ref[:, :]
+
+        @pl.when(alive_any)
+        def _():
+            live()
+
+    return _shade1_kernel
 
 
 def _rspec(rows):
@@ -319,6 +415,7 @@ def shade_fused(
     bounce: int,
     interpret: bool = False,
     block_skip: bool = False,
+    rec=None,  # (24, R) f32: trace-kernel-emitted records (skips the gather)
 ):
     """One fused shading bounce.  Returns the new (16, R) state.
 
@@ -337,10 +434,37 @@ def shade_fused(
     # Static branch: present marker ⇒ every emissive entry is 1×1.
     emissive_dummy = scene.emissive_all_dummy is not None
 
-    # Axis-1 gather from the pre-permuted field-major table: no transpose,
-    # no perm lookup.
-    rec = padr(jnp.take(scene.shade_table_t, tri_m, axis=1))  # (24, R) packed
+    if rec is None:
+        # Axis-1 gather from the pre-permuted field-major table: no
+        # transpose, no perm lookup.  (Resident banks skip this entirely:
+        # the trace kernel emits rec via a one-hot MXU matmul.  A missed
+        # ray's record is table row tri_m=0 here vs all-zeros there — both
+        # only feed texture-index math whose result is masked by alive &
+        # ~missed in the shade kernel.)
+        rec = jnp.take(scene.shade_table_t, tri_m, axis=1)  # (24, R) packed
+    rec = padr(rec)
     aux = padr(aux)
+
+    if scene.color_u16f_t is not None:
+        # Small-bank single-kernel path: zero XLA ops in the bounce.
+        new_state = pl.pallas_call(
+            _make_shade1_kernel(bounce, emissive_dummy, block_skip),
+            grid=(nb,),
+            in_specs=[
+                _rspec(PACKED_COLS),
+                _rspec(8),
+                _rspec(16),
+                pl.BlockSpec(
+                    scene.color_u16f_t.shape,
+                    lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=_rspec(16),
+            out_shape=jax.ShapeDtypeStruct((16, Rp), jnp.float32),
+            interpret=interpret,
+        )(rec, aux, padr(state), scene.color_u16f_t)
+        return new_state[:, :R]
 
     tex_idx, svec = pl.pallas_call(
         _make_prep_kernel(emissive_dummy, block_skip),

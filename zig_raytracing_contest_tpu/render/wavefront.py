@@ -361,10 +361,16 @@ def render_wave(
                 perm = jnp.argsort(key)
                 state = jnp.take(state, perm, axis=1)
                 order = jnp.take(order, perm)
-            aux, tri = trace_emit_aux(scene.mxu, state, interpret=interpret)
+            # Resident banks also emit the winner's shade record from inside
+            # the trace kernel (one-hot MXU matmul) — rec is None in the
+            # streaming regime and shade_fused falls back to the XLA gather.
+            aux, tri, rec = trace_emit_aux(
+                scene.mxu, state, rec_table=scene.shade_table_t,
+                interpret=interpret,
+            )
             state = shade_fused(
                 scene, state, aux, tri, bounce,
-                interpret=interpret, block_skip=sort_rays,
+                interpret=interpret, block_skip=sort_rays, rec=rec,
             )
         if sort_rays:
             inv = jnp.argsort(order)

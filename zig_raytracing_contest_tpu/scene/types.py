@@ -35,6 +35,11 @@ from .materials import MaterialBank
 # table and the host bake; scenes past it use the grid/DDA fallback.
 MXU_BACKEND_MAX_TRIANGLES = 1 << 21
 
+# Texel banks up to this many texels take the one-hot-MXU fetch path
+# (render/fused.py single-kernel shading).  Bound sets the in-kernel
+# one-hot transient: (Pp, 512) f32 = 2 MB at 1024.
+ONEHOT_MAX_TEXELS = 1024
+
 # shade_table column layout
 COL_NRM = 0  # 9 cols: 3 vertices × xyz (world, normalized)
 COL_UV = 9  # 6 cols: 3 vertices × uv
@@ -103,6 +108,12 @@ class DeviceScene(NamedTuple):
     # bank; the shade kernel dequantizes with the descriptor's scale,
     # bit-identical to the f32 bank by construction (materials._quantize_bank).
     color_packed_t: jnp.ndarray | None = None
+    # Small-bank fast path: (4, Pp) f32 u16-VALUED texel channels (R,G,B,A
+    # rows), lane-padded.  Present only when the whole bank fits the
+    # one-hot-MXU fetch budget (ONEHOT_MAX_TEXELS); render/fused.py then
+    # shades a bounce in ONE kernel — texel "gathers" become in-kernel
+    # one-hot matmuls and no XLA runs between trace and shade.
+    color_u16f_t: jnp.ndarray | None = None
     # Static marker (None vs present IS the flag — pytree structure, so the
     # fused pipeline can branch on it at trace time): present when every
     # material's emissive entry is a 1×1 dummy (factor only), letting the
@@ -237,6 +248,19 @@ def build_device_scene(
         color_packed_t=(
             jnp.asarray(_pack_color_bank(materials.color_u16))
             if mxu is not None and materials.color_u16 is not None
+            else None
+        ),
+        color_u16f_t=(
+            jnp.asarray(
+                np.pad(
+                    materials.color_u16.T.astype(np.float32),
+                    ((0, 0), (0, -(-materials.color_u16.shape[0] // 128) * 128
+                              - materials.color_u16.shape[0])),
+                )
+            )
+            if mxu is not None
+            and materials.color_u16 is not None
+            and materials.color_u16.shape[0] <= ONEHOT_MAX_TEXELS
             else None
         ),
         emissive_all_dummy=(
