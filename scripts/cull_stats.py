@@ -1,0 +1,110 @@
+"""Cull-efficiency diagnostic: mean triangle tiles swept per ray block, per
+bounce, on the real bench scenes (aux row 5 from the trace kernels).
+
+Run: python scripts/cull_stats.py [--large] [--sort | --nosort]
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from bench import build_bench_scene, build_large_scene
+from zig_raytracing_contest_tpu.config import Config
+from zig_raytracing_contest_tpu.ops import rng
+from zig_raytracing_contest_tpu.ops.mxu_intersect import trace_emit_aux
+from zig_raytracing_contest_tpu.render import wavefront
+from zig_raytracing_contest_tpu.render.fused import shade_fused
+from zig_raytracing_contest_tpu.render.pipeline import prepare_scene
+
+
+def main():
+    large = "--large" in sys.argv
+    R = 1 << 18
+    width = 1280
+    cfg = Config(grid_resolution=(128, 128, 128))
+    with tempfile.TemporaryDirectory() as d:
+        p = (build_large_scene if large else build_bench_scene)(Path(d) / "s.gltf")
+        scene, cam, _ = prepare_scene(
+            str(p), cfg, camera_name="Camera 1", width=width, height=720
+        )
+    tiles = scene.mxu.tile_bbox.shape[1]
+    groups = scene.mxu.group_bbox.shape[1]
+    sort_rays = scene.mxu.tri_data.shape[1] > wavefront.SORT_MIN_TRIS
+    if "--sort" in sys.argv:
+        sort_rays = True
+    if "--nosort" in sys.argv:
+        sort_rays = False
+    print(f"scene={'large' if large else 'bench'} tiles={tiles} groups={groups} "
+          f"R={R} sort={sort_rays}")
+
+    local = jnp.arange(R, dtype=jnp.int32)
+    streams = rng.ray_streams(jnp.uint32(0), local)
+    _, x, y = wavefront.wave_pixel_coords(local, 1, width, jnp.int32(0))
+    jx, jy = rng.uniform2_soa(streams, 0)
+    llc = jnp.asarray(cam.lower_left_corner)
+    dr = [llc[a] + cam.right[a] * (x + jx) + cam.up[a] * (y + jy) for a in range(3)]
+    inv_len = 1.0 / jnp.sqrt(dr[0] ** 2 + dr[1] ** 2 + dr[2] ** 2)
+    ones = jnp.ones((R,), jnp.float32)
+    zeros = jnp.zeros((R,), jnp.float32)
+    state = jnp.stack(
+        [
+            cam.origin[0] * ones, cam.origin[1] * ones, cam.origin[2] * ones,
+            dr[0] * inv_len, dr[1] * inv_len, dr[2] * inv_len,
+            ones, ones, ones, zeros, zeros, zeros,
+            ones, jax.lax.bitcast_convert_type(streams, jnp.float32),
+            zeros, zeros,
+        ],
+        axis=0,
+    )
+
+    import time
+
+    trace = jax.jit(lambda s: trace_emit_aux(scene.mxu, s,
+                                             rec_table=scene.shade_table_t))
+
+    def best_time(fn, n=6):
+        jax.block_until_ready(fn())
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    from zig_raytracing_contest_tpu.ops.mxu_intersect import (
+        LANE_BLOCK, LANE_BLOCK_RESIDENT, VMEM_WIDE_BLOCK_MAX_TRIS)
+
+    lb = (LANE_BLOCK_RESIDENT
+          if scene.mxu.tri_data.shape[1] <= VMEM_WIDE_BLOCK_MAX_TRIS
+          else LANE_BLOCK)
+    for bounce in range(4):
+        if sort_rays:
+            key = wavefront._ray_sort_key(scene, state)
+            state = jnp.take(state, jnp.argsort(key), axis=1)
+        t_tr = best_time(lambda: trace(state))
+        aux, tri, rec = trace(state)
+        st_in = state
+        t_sh = best_time(lambda: shade_fused(scene, st_in, aux, tri, bounce,
+                                             block_skip=sort_rays, rec=rec))
+        swept = aux[5]
+        alive = aux[4] > 0.0
+        n_alive = int(alive.sum())
+        blocks_live = jnp.any(alive.reshape(-1, lb), axis=1)
+        mean_alive = float(jnp.where(alive, swept, 0.0).sum()) / max(n_alive, 1)
+        print(
+            f"bounce {bounce}: alive {n_alive:7d}/{R} | live blocks "
+            f"{int(blocks_live.sum()):4d}/{blocks_live.shape[0]} (lb={lb}) | "
+            f"swept/alive-ray {mean_alive:6.2f} of {tiles} | "
+            f"trace {t_tr*1e3:7.2f} ms  shade {t_sh*1e3:6.2f} ms"
+        )
+        state = shade_fused(scene, state, aux, tri, bounce,
+                            block_skip=sort_rays, rec=rec)
+
+
+if __name__ == "__main__":
+    main()

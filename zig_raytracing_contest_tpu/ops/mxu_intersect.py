@@ -396,6 +396,10 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
     aux_ref[0, sl] = jnp.where(better, u_sel, aux_ref[0, sl])
     aux_ref[1, sl] = jnp.where(better, v_sel, aux_ref[1, sl])
     idx_ref[0, sl] = jnp.where(better, s + cand, idx_ref[0, sl])
+    # Diagnostic: tiles actually swept by this lane's block (aux row 5 is
+    # otherwise unused; ~free — one vector add per executed tile update).
+    # scripts/cull_stats.py reads it to measure cull efficiency per bounce.
+    aux_ref[5, sl] = aux_ref[5, sl] + 1.0
     if rec_ref is not None:
         # (24, Kt) · one-hot (Kt, LB) on the MXU → the winner's record.
         tile_rec = jax.lax.dot_general(
