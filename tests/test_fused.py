@@ -226,3 +226,45 @@ def test_streaming_trace_matches_resident(scene_and_rays, monkeypatch):
     trace_emit_aux._clear_cache()
     np.testing.assert_array_equal(np.asarray(aux_a), np.asarray(aux_b))
     np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+
+
+def test_path_kernel_matches_bounce_composition(scene_and_rays):
+    """The whole-path kernel (all bounces in one Pallas call) runs the same
+    trace/shade bodies as composing trace_emit_aux + shade_fused per bounce.
+
+    On a single CPU device the two are BITWISE identical (verified when
+    developing the kernel).  Under the suite's 8-virtual-device CPU client
+    XLA:CPU contracts FMAs differently between the two program contexts
+    (last-ULP-only drift in the f32 rows), so this pins: structural rows
+    (alive / RNG streams / segments) exactly, value rows to tight
+    tolerance."""
+    from zig_raytracing_contest_tpu.render.fused import path_trace_fused
+
+    scene, orig, direction = scene_and_rays
+    assert scene.color_u16f_t is not None, "fixture must be one-hot sized"
+    streams = rng.ray_streams(jnp.uint32(7), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    max_bounce = 3
+    out_mega = path_trace_fused(
+        scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+        max_bounce, scene.emissive_all_dummy is not None,
+        interpret=True, lane_block=512,
+    )
+    st = state
+    for bounce in range(max_bounce):
+        aux, tri_m, rec = trace_emit_aux(
+            scene.mxu, st, rec_table=scene.shade_table_t, interpret=True
+        )
+        st = shade_fused(scene, st, aux, tri_m, bounce, interpret=True, rec=rec)
+    a = np.asarray(out_mega)
+    b = np.asarray(st)
+    # Structural rows exact: alive (12), RNG streams bit pattern (13),
+    # segment count (14), pad (15).
+    np.testing.assert_array_equal(
+        a[12:16].view(np.uint32), b[12:16].view(np.uint32)
+    )
+    # Value rows (origin/direction/throughput/radiance) to f32 tightness.
+    np.testing.assert_allclose(a[0:12], b[0:12], rtol=3e-6, atol=1e-6)

@@ -331,6 +331,52 @@ def _shade_live(aux_ref, sv, get_texel, state_ref, out_state_ref,
 ONEHOT_CHUNK = 512
 
 
+def _shade1_body(rec_ref, aux_ref, state_ref, bank_ref, out_state_ref,
+                 bounce: int, emissive_dummy: bool):
+    """One bounce of single-kernel shading over refs: prep math, one-hot
+    texel fetch from the VMEM bank, and the shade core.  Shared by the
+    standalone shade1 kernel and the whole-path kernel (``state_ref`` and
+    ``out_state_ref`` may alias there: every state row is read into values
+    before any row is written)."""
+    n_idx = 5 if emissive_dummy else 8
+    idx, svec = _prep_math(
+        lambda k: rec_ref[k, :], aux_ref[0, :], aux_ref[1, :],
+        emissive_dummy,
+    )
+    Pp = bank_ref.shape[1]
+    B = rec_ref.shape[1]
+
+    def fetch(indices):  # (B,) int32 → (4, B) f32 u16-valued
+        chunks = []
+        for c0 in range(0, B, ONEHOT_CHUNK):
+            ii = indices[c0 : c0 + ONEHOT_CHUNK]
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (Pp, ONEHOT_CHUNK), 0)
+                == ii[None, :]
+            ).astype(jnp.float32)
+            chunks.append(
+                jax.lax.dot_general(
+                    bank_ref[:, :],
+                    onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+        return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+
+    texf = [fetch(idx[k]) for k in range(n_idx)]
+    _shade_live(
+        aux_ref,
+        lambda k: svec[k],
+        lambda i: (texf[i][0], texf[i][1], texf[i][2], texf[i][3]),
+        state_ref,
+        out_state_ref,
+        bounce,
+        emissive_dummy,
+    )
+
+
 def _make_shade1_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
     """Single-kernel bounce shading for small texel banks: prep math,
     texel fetch AND shading in one Pallas call, so nothing runs in XLA
@@ -340,52 +386,11 @@ def _make_shade1_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
     resident (4, Pp) u16-valued bank — bit-exact at HIGHEST precision
     (1.0·x reconstructs u16 integers exactly; verified on-chip) and
     identical to the packed-gather path's unpacked channels."""
-    n_idx = 5 if emissive_dummy else 8
 
     def _shade1_kernel(rec_ref, aux_ref, state_ref, bank_ref, out_state_ref):
         def live():
-            idx, svec = _prep_math(
-                lambda k: rec_ref[k, :], aux_ref[0, :], aux_ref[1, :],
-                emissive_dummy,
-            )
-            Pp = bank_ref.shape[1]
-            B = rec_ref.shape[1]
-
-            def fetch(indices):  # (B,) int32 → (4, B) f32 u16-valued
-                chunks = []
-                for c0 in range(0, B, ONEHOT_CHUNK):
-                    ii = indices[c0 : c0 + ONEHOT_CHUNK]
-                    onehot = (
-                        jax.lax.broadcasted_iota(
-                            jnp.int32, (Pp, ONEHOT_CHUNK), 0
-                        )
-                        == ii[None, :]
-                    ).astype(jnp.float32)
-                    chunks.append(
-                        jax.lax.dot_general(
-                            bank_ref[:, :],
-                            onehot,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )
-                    )
-                return (
-                    chunks[0]
-                    if len(chunks) == 1
-                    else jnp.concatenate(chunks, axis=1)
-                )
-
-            texf = [fetch(idx[k]) for k in range(n_idx)]
-            _shade_live(
-                aux_ref,
-                lambda k: svec[k],
-                lambda i: (texf[i][0], texf[i][1], texf[i][2], texf[i][3]),
-                state_ref,
-                out_state_ref,
-                bounce,
-                emissive_dummy,
-            )
+            _shade1_body(rec_ref, aux_ref, state_ref, bank_ref,
+                         out_state_ref, bounce, emissive_dummy)
 
         if not block_skip:
             return live()
@@ -404,6 +409,106 @@ def _make_shade1_kernel(bounce: int, emissive_dummy: bool, block_skip: bool):
 
 def _rspec(rows):
     return pl.BlockSpec((rows, SHADE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+# ---------------------------------------------------------------------------
+# Whole-path kernel: ALL bounces of trace + shade in ONE Pallas call.
+# ---------------------------------------------------------------------------
+# Profiled on the v5e: each Pallas grid step costs ~8-10 µs of fixed
+# sequencing overhead, and a frame of the per-bounce pipeline runs
+# max_bounce trace calls + max_bounce shade calls per wave — ~25k grid
+# steps for a 1080p frame, ~200 ms of pure overhead.  For scenes whose
+# transform bank, shade table and texel bank are all VMEM-resident (the
+# rec-emit + one-hot regime), the entire bounce loop fuses into one kernel:
+# each ray block runs its full path while its state stays on-chip, paying
+# the grid-step tax ONCE per wave instead of 2·max_bounce times.
+#
+# The other dividend is bounce-level dead skipping: on open scenes most
+# rays die early (official bench: 87% after bounce 0) and raster-order
+# blocks cluster sky pixels, so whole blocks go dead mid-path; the bounce
+# loop here skips trace AND shade for them (`pl.when` on any-alive), where
+# the per-bounce pipeline still paid full shade math on every block.
+#
+# Semantics are the per-bounce composition exactly: the trace body and the
+# shade body are the same functions (aliasing state in/out is safe — every
+# state row is read into values before any write).
+
+PATH_LANE_BLOCK = 1024
+
+
+def _make_path_kernel(max_bounce: int, emissive_dummy: bool):
+    from ..ops.mxu_intersect import _trace_body_resident
+
+    def _path_kernel(state_ref, tri_ref, bbox_ref, gbox_ref, table_ref,
+                     bank_ref, out_ref, aux_ref, idx_ref, rec_ref, tmin_ref):
+        out_ref[:, :] = state_ref[:, :]
+        for bounce in range(max_bounce):
+
+            @pl.when(jnp.any(out_ref[12, :] > 0.0))
+            def _(bounce=bounce):
+                _trace_body_resident(
+                    out_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
+                    tmin_ref, table_ref, rec_ref,
+                )
+                _shade1_body(rec_ref, aux_ref, out_ref, bank_ref, out_ref,
+                             bounce, emissive_dummy)
+
+    return _path_kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_bounce", "emissive_dummy", "interpret", "lane_block"),
+)
+def path_trace_fused(
+    tris,  # ops.mxu_intersect.MXUTriangles (VMEM-resident, rec-emit sized)
+    state16,  # (16, R) f32 field-major primary-ray state
+    rec_table,  # (24, Tp) f32 Morton-ordered packed shade table
+    bank,  # (4, Pp) f32 u16-valued texel bank (one-hot fetch regime)
+    max_bounce: int,
+    emissive_dummy: bool,
+    interpret: bool = False,
+    lane_block: int = PATH_LANE_BLOCK,
+):
+    """Full path trace of a wave in one kernel.  Returns the final (16, R)
+    state (radiance rows 9-11, segment row 14), identical to composing
+    trace_emit_aux + shade_fused for max_bounce bounces."""
+    R = state16.shape[1]
+    assert R % lane_block == 0, f"wave {R} not a multiple of {lane_block}"
+    real_tiles = tris.tile_bbox.shape[1]
+    num_groups = tris.group_bbox.shape[1]
+    nb = R // lane_block
+
+    out = pl.pallas_call(
+        _make_path_kernel(max_bounce, emissive_dummy),
+        grid=(nb,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((16, lane_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tris.group_bbox.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(rec_table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bank.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, lane_block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, R), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, lane_block), jnp.float32),  # aux (running best)
+            pltpu.VMEM((1, lane_block), jnp.int32),  # winner idx
+            pltpu.VMEM((24, lane_block), jnp.float32),  # winner record
+            pltpu.SMEM((num_groups,), jnp.float32),  # group entry t
+        ],
+    )(state16, tris.tri_data, tris.tile_bbox, tris.group_bbox, rec_table, bank)
+    del real_tiles
+    return out
 
 
 @partial(jax.jit, static_argnames=("bounce", "interpret", "block_skip"))

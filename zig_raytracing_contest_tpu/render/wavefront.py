@@ -339,6 +339,28 @@ def render_wave(
             ],
             axis=0,
         )
+        sort_rays = scene.mxu.tri_data.shape[1] > SORT_MIN_TRIS
+        from ..ops.mxu_intersect import REC_EMIT_MAX_TRIS
+
+        if (
+            not sort_rays
+            and scene.color_u16f_t is not None
+            and scene.shade_table_t is not None
+            and scene.mxu.tri_data.shape[1] <= REC_EMIT_MAX_TRIS
+        ):
+            # Whole-path kernel: every bounce's trace + shade in ONE Pallas
+            # call (fused.path_trace_fused) — the fully-VMEM-resident
+            # regime.  Saves ~2·max_bounce grid-step taxes per block and
+            # skips whole bounces for blocks that go all-dead.
+            from .fused import path_trace_fused
+
+            state = path_trace_fused(
+                scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+                max_bounce, scene.emissive_all_dummy is not None,
+                interpret=interpret,
+            )
+            return pixel, state[9:12].T, state[14].astype(jnp.int32)
+
         # Bounce-ray reordering: bounce rays scatter in direction and origin,
         # which defeats the trace kernel's per-block tile culls.  For scenes
         # big enough that traversal dominates (the HBM-streaming regime),
@@ -349,7 +371,6 @@ def render_wave(
         # sort costs one argsort + a (16, R) axis-1 gather per bounce —
         # profitable only when a bounce's trace costs much more (gated by
         # sort_rays; see SORT_MIN_TRIS).
-        sort_rays = scene.mxu.tri_data.shape[1] > SORT_MIN_TRIS
         order = local  # running map: lane -> original wave position
         for bounce in range(max_bounce):
             # Sort EVERY bounce including primaries: isolated bounce-0 trace
