@@ -15,16 +15,35 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 tile = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 256
+group = 8
+f2bmin = None
+lane = None
+for a in sys.argv[2:]:
+    if a.startswith("--group="):
+        group = int(a.split("=")[1])
+    if a.startswith("--f2bmin="):
+        f2bmin = int(a.split("=")[1])
+    if a.startswith("--lane="):
+        lane = int(a.split("=")[1])
 
 import zig_raytracing_contest_tpu.ops.mxu_intersect as mi
 
-mi.TRI_TILE = tile
-mi.TRI_TILE_T = tile
+if f2bmin is not None:
+    mi.F2B_MIN_GROUPS = f2bmin
+
+if lane is not None:
+    from functools import partial as _partial
+
+    import zig_raytracing_contest_tpu.render.fused as rf
+
+    rf.path_trace_fused = _partial(rf.path_trace_fused, lane_block=lane)
 
 import zig_raytracing_contest_tpu.scene.types as st
 
 _orig_bake = mi.bake_triangles
-st.bake_triangles = lambda v0, e1, e2: _orig_bake(v0, e1, e2, tile=tile)
+st.bake_triangles = lambda v0, e1, e2, **kw: _orig_bake(
+    v0, e1, e2, tile=tile, group_tiles=group
+)
 
 from bench import build_bench_scene, build_large_scene  # noqa: E402
 from zig_raytracing_contest_tpu.config import Config  # noqa: E402
@@ -48,7 +67,7 @@ def main():
         p = (build_large_scene if large else build_bench_scene)(Path(d) / "s.gltf")
         scene, cam, _ = prepare_scene(str(p), cfg, camera_name="Camera 1",
                                       width=width, height=height)
-    print(f"tile={tile} tiles={scene.mxu.tile_bbox.shape[1]} "
+    print(f"tile={tile} group={group} tiles={scene.mxu.tile_bbox.shape[1]} "
           f"groups={scene.mxu.group_bbox.shape[1]}")
     render_scene(scene, cam, cfg)  # warm
     best = 0.0
@@ -58,7 +77,7 @@ def main():
         wall = time.perf_counter() - t0
         best = max(best, stats.segments / wall / 1e6)
         print(f"rep {stats.segments / wall / 1e6:.3f} Mrays/s")
-    print(f"BEST tile={tile}: {best:.3f} Mrays/s")
+    print(f"BEST tile={tile} group={group}: {best:.3f} Mrays/s")
 
 
 if __name__ == "__main__":

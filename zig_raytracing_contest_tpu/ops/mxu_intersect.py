@@ -42,8 +42,8 @@ Host baking uses float64 inverses for stability, cast to f32.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +59,14 @@ _TRANSFORM_PRECISION = jax.lax.Precision.HIGHEST
 # "mxu" (dot_general at _TRANSFORM_PRECISION) or "vpu" (exact elementwise).
 _TRANSFORM_MODE = "vpu"
 
-TRI_TILE = 256  # triangles per inner tile / bbox granularity (lane-aligned)
+# Triangles per inner tile / bbox granularity.  128 is the Mosaic lane
+# minimum (the bank's triangle axis rides vreg lanes); finer tiles give the
+# per-block culls tighter boxes.  Measured on the official 1080p bench:
+# 128 → 22.3 Mrays/s vs 256 → 19.1 (bulk VPU cost is ~tile-size-neutral,
+# cull rejection is not).  Large/streaming scenes keep 256 (128 measured
+# worse there: per-tile overhead beats the finer culling, docs/PERFORMANCE).
+TRI_TILE = 256
+TRI_TILE_SMALL = 128  # rec-emit-resident scenes (scene/types.py picks)
 
 # tri_data row layout: 9 rows of M (row-major), 3 rows of c, 1 row of |n|²,
 # padded to 16 rows so DMA slices are sublane-aligned (multiples of 8).
@@ -70,29 +77,55 @@ _BANK_ROWS = 16
 GROUP_TILES = 8  # tiles per second-level cull group (bbox in SMEM)
 
 
-class MXUTriangles(NamedTuple):
-    """Baked, Morton-sorted triangle bank (padded to a TRI_TILE multiple).
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class MXUTriangles:
+    """Baked, Morton-sorted triangle bank (padded to a ``tile`` multiple).
 
     tri_data:  (13, Tp) f32 — transforms in Morton order, padded to whole
-               GROUP_TILES quanta (DMA slices stay in-bounds); padding has
+               group quanta (DMA slices stay in-bounds); padding has
                |n|² = 0 which the det test culls unconditionally.
-    tile_bbox: (6, ceil(T / TRI_TILE)) f32 — [minx..z, maxx..z] per REAL
+    tile_bbox: (6, ceil(T / tile)) f32 — [minx..z, maxx..z] per REAL
                tile only.  The kernels take their loop bounds from this
                shape, so fully-padded tiles are never visited (an inverted
                empty-tile box PASSES the slab test — sweeping them cost 60%
                extra tile work on small scenes before r2 sized this to real
                tiles).
     perm:      (Tp,) int32 — Morton position → original unique triangle id.
-    group_bbox: (6, ceil(real_tiles / GROUP_TILES)) f32 — second-level
-               AABBs over GROUP_TILES consecutive real tiles; a culled
+    group_bbox: (6, ceil(real_tiles / group_tiles)) f32 — second-level
+               AABBs over ``group_tiles`` consecutive real tiles; a culled
                group skips its tiles' slab tests AND (in the streaming
                kernel) their DMAs.
+    tree_bbox: (6, 2·P2) f32, P2 = next_pow2(real_tiles) — implicit binary
+               heap over the Morton-ordered tiles (node i's children are
+               2i and 2i+1; leaves are nodes [P2, P2+real_tiles)).  Nodes
+               covering no real tile store the always-miss box
+               [min=max=+inf], which the slab test provably rejects for
+               every ray.  Node 0 is unused.  The resident trace kernels
+               traverse this heap depth-first (near child first) instead
+               of sweeping the flat tile list once there are enough tiles.
+    tile / group_tiles: STATIC bake geometry (pytree aux data, so the jit
+               cache keys on them and kernels unroll with the right sizes).
     """
 
     tri_data: jnp.ndarray
     tile_bbox: jnp.ndarray
     perm: jnp.ndarray
     group_bbox: jnp.ndarray
+    tree_bbox: jnp.ndarray
+    tile: int = TRI_TILE
+    group_tiles: int = GROUP_TILES
+
+    def tree_flatten(self):
+        return (
+            (self.tri_data, self.tile_bbox, self.perm, self.group_bbox,
+             self.tree_bbox),
+            (self.tile, self.group_tiles),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
@@ -111,9 +144,17 @@ def _morton3(q: np.ndarray) -> np.ndarray:
 
 
 def bake_triangles(
-    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, tile: int = TRI_TILE
+    v0: np.ndarray,
+    e1: np.ndarray,
+    e2: np.ndarray,
+    tile: int = TRI_TILE,
+    group_tiles: int = GROUP_TILES,
 ) -> MXUTriangles:
-    """Host-side bake: MT arrays → Morton-sorted transform bank + tile boxes."""
+    """Host-side bake: MT arrays → Morton-sorted transform bank + tile boxes.
+
+    ``tile`` must be a multiple of 128 (the bank's triangle axis rides
+    Mosaic vreg lanes; unaligned tile slices cannot lower)."""
+    assert tile % 128 == 0, f"tile {tile} must be lane-aligned (128)"
     v0 = np.asarray(v0, np.float64)
     e1 = np.asarray(e1, np.float64)
     e2 = np.asarray(e2, np.float64)
@@ -138,7 +179,7 @@ def bake_triangles(
     M = np.stack([r_u, r_v, r_w], axis=1)  # (T, 3, 3)
     c = -np.einsum("tak,tk->ta", M, v0)  # (T, 3)
 
-    quantum = tile * GROUP_TILES  # whole cull groups (see MXUTriangles)
+    quantum = tile * group_tiles  # whole cull groups (see MXUTriangles)
     Tp = -(-max(T, 1) // quantum) * quantum
     tri_data = np.zeros((_BANK_ROWS, Tp), np.float32)
     tri_data[0:9, :T] = M.reshape(T, 9).T.astype(np.float32)
@@ -159,15 +200,32 @@ def bake_triangles(
             tile_bbox[0:3, ti] = flat.min(axis=0)
             tile_bbox[3:6, ti] = flat.max(axis=0)
 
-    num_groups = -(-num_tiles // GROUP_TILES)
+    num_groups = -(-num_tiles // group_tiles)
     group_bbox = np.zeros((6, num_groups), np.float32)
-    g_pad = np.full((6, num_groups * GROUP_TILES), np.nan, np.float32)
+    g_pad = np.full((6, num_groups * group_tiles), np.nan, np.float32)
     g_pad[0:3] = np.float32(np.inf)
     g_pad[3:6] = -np.float32(np.inf)
     g_pad[:, :num_tiles] = tile_bbox
-    g_tiles = g_pad.reshape(6, num_groups, GROUP_TILES)
+    g_tiles = g_pad.reshape(6, num_groups, group_tiles)
     group_bbox[0:3] = g_tiles[0:3].min(axis=2)
     group_bbox[3:6] = g_tiles[3:6].max(axis=2)
+
+    # Implicit Morton-heap tree over the tiles (see MXUTriangles.tree_bbox).
+    p2 = 1
+    while p2 < num_tiles:
+        p2 *= 2
+    tree = np.zeros((6, 2 * p2), np.float32)
+    tree[0:3, :] = np.float32(np.inf)
+    tree[3:6, :] = -np.float32(np.inf)
+    tree[:, p2 : p2 + num_tiles] = tile_bbox
+    for i in range(p2 - 1, 0, -1):
+        tree[0:3, i] = np.minimum(tree[0:3, 2 * i], tree[0:3, 2 * i + 1])
+        tree[3:6, i] = np.maximum(tree[3:6, 2 * i], tree[3:6, 2 * i + 1])
+    # Empty subtrees → the always-miss box (min=max=+inf): every slab test
+    # yields tmin=+inf (miss via tmin>=best, even at best=inf) or
+    # tmax=-inf (miss via tmax<=0) for any finite ray.
+    em = (tree[3:6] < tree[0:3]).any(axis=0)
+    tree[:, em] = np.float32(np.inf)
 
     perm = np.zeros(Tp, np.int32)
     perm[:T] = order.astype(np.int32)
@@ -176,6 +234,9 @@ def bake_triangles(
         tile_bbox=jnp.asarray(tile_bbox),
         perm=jnp.asarray(perm),
         group_bbox=jnp.asarray(group_bbox),
+        tree_bbox=jnp.asarray(tree),
+        tile=tile,
+        group_tiles=group_tiles,
     )
 
 
@@ -227,8 +288,10 @@ def recompute_uv(tris: MXUTriangles, orig, direction, idx):
     return t, u, v
 
 
-def nearest_hit_xla(tris: MXUTriangles, orig, direction, active, tile: int = TRI_TILE):
+def nearest_hit_xla(tris: MXUTriangles, orig, direction, active, tile: int | None = None):
     """Portable tile scan (CPU tests / fallback).  Returns (t, idx_morton)."""
+    if tile is None:
+        tile = tris.tile
     R = orig.shape[0]
     Tp = tris.tri_data.shape[1]
     num_tiles = Tp // tile
@@ -304,7 +367,8 @@ LANE_BLOCK = 512  # rays per grid step (lanes), streaming kernel
 # dominated small-scene traces (profiled 47% of the frame); 1024 lanes
 # halves the step count while (Kt, 1024) intermediates still fit VMEM.
 LANE_BLOCK_RESIDENT = 1024
-TRI_TILE_T = 256  # triangles per inner tile (sublanes); must equal the bake tile (bbox granularity)
+# (The kernel tile size now comes from MXUTriangles.tile — static bake
+# geometry; no separate kernel-side constant to keep in sync.)
 
 # Above this padded triangle count the transform bank no longer fits VMEM
 # (16 MB/core: a 2^17-triangle bank is 8.4 MB, leaving ~5.5 MB for the
@@ -466,6 +530,31 @@ def _cull_any(bbox_ref, j, o, inv, best, active):
     return jnp.any(_cull_mask(bbox_ref, j, o, inv, best, active))
 
 
+def _cull_entry(bbox_ref, j, o, inv, best, active):
+    """(any-lane-hit, block entry t) of box column ``j`` — the tree
+    traversal's child test.  ``entry`` is min over passing lanes of the
+    clamped slab entry (scalar, +inf when no lane passes); it only orders
+    sibling visits, so a NaN from a degenerate slab is harmless."""
+    tx1 = (bbox_ref[0, j] - o[0]) * inv[0]
+    tx2 = (bbox_ref[3, j] - o[0]) * inv[0]
+    ty1 = (bbox_ref[1, j] - o[1]) * inv[1]
+    ty2 = (bbox_ref[4, j] - o[1]) * inv[1]
+    tz1 = (bbox_ref[2, j] - o[2]) * inv[2]
+    tz2 = (bbox_ref[5, j] - o[2]) * inv[2]
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+        jnp.minimum(tz1, tz2),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+        jnp.maximum(tz1, tz2),
+    )
+    box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
+    passed = active & ~box_miss
+    entry = jnp.min(jnp.where(passed, jnp.maximum(tmin, 0.0), INF))
+    return jnp.any(passed), entry
+
+
 DIST_BINS = 16  # front-to-back group ordering granularity
 
 
@@ -545,8 +634,20 @@ def _front_to_back_groups(gbox_ref, num_groups, o, inv, active, aux_ref,
 F2B_MIN_GROUPS = 8
 
 
+# Resident scenes with at least this many tiles traverse the Morton-heap
+# tree (tree_bbox) instead of the flat/grouped tile loops: node tests
+# scale with the tiles a block's beam actually reaches, and near-child-
+# first ordering settles the running best early (occlusion culling).
+TREE_MIN_TILES = 16
+# DFS stack bound: only internal nodes are pushed, ≤ 2 per expansion, so
+# depth ≤ log2(P2) + 1; 48 covers any P2 the SMEM tree could hold.
+TREE_MAX_STACK = 48
+
+
 def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
-                         idx_ref, tmin_ref, table_ref=None, rec_ref=None):
+                         idx_ref, tmin_ref, table_ref=None, rec_ref=None,
+                         tile=TRI_TILE, group_tiles=GROUP_TILES,
+                         tree_ref=None, stack_ref=None):
     Tp = tri_ref.shape[1]
     num_tiles = bbox_ref.shape[1]  # REAL tiles (loop bound)
     num_groups = gbox_ref.shape[1]
@@ -563,18 +664,29 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
 
         @pl.when(hit)
         def _():
-            s = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
-            rows = tri_ref[:, pl.ds(s, TRI_TILE_T)]  # (13, Kt)
+            s = pl.multiple_of(jt * tile, tile)
+            rows = tri_ref[:, pl.ds(s, tile)]  # (13, Kt)
             _tile_update(
                 rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
                 aux_ref, idx_ref,
                 table_rows=(
-                    table_ref[:, pl.ds(s, TRI_TILE_T)]
+                    table_ref[:, pl.ds(s, tile)]
                     if table_ref is not None
                     else None
                 ),
                 rec_ref=rec_ref,
             )
+
+    if (
+        tree_ref is not None
+        and stack_ref is not None
+        and num_tiles >= TREE_MIN_TILES
+    ):
+        _tree_traverse(
+            tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
+            num_tiles,
+        )
+        return
 
     if num_groups < F2B_MIN_GROUPS:
         def tile_body(jt, _):
@@ -586,38 +698,124 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
 
     def process_group(g):
         def tile_body(jg, _):
-            jt = g * GROUP_TILES + jg
+            jt = g * group_tiles + jg
             visit_tile(jt, jt < num_tiles)
             return 0
 
-        jax.lax.fori_loop(0, GROUP_TILES, tile_body, 0)
+        jax.lax.fori_loop(0, group_tiles, tile_body, 0)
 
     _front_to_back_groups(
         gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref, process_group
     )
 
 
-def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
-                    tmin_ref):
-    _trace_body_resident(
-        state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref, tmin_ref
-    )
+def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
+                   num_tiles):
+    """Depth-first traversal of the Morton heap with near-child-first
+    ordering.  The stack holds INTERNAL node ids only; a leaf child is
+    visited inline at its parent's expansion (so pops never waste child
+    tests on leaves).  Every pop re-tests against the RUNNING best
+    (aux_ref[2]), so subtrees behind already-settled hits are occlusion-
+    culled even if they were pushed before the best tightened.  Leaves
+    re-cull inside visit_tile; padded leaves hold the always-miss box."""
+    p2 = tree_ref.shape[1] // 2
+
+    def cond(sp):
+        return sp > 0
+
+    def body(sp):
+        sp = sp - 1
+        node = stack_ref[sp]
+        best = aux_ref[2, :]
+        hit = _cull_any(tree_ref, node, o, inv, best, active)
+        l = 2 * node
+        r = 2 * node + 1
+        lhit, lent = _cull_entry(tree_ref, l, o, inv, best, active)
+        rhit, rent = _cull_entry(tree_ref, r, o, inv, best, active)
+        lhit &= hit
+        rhit &= hit
+        # Near child (smaller block entry) is visited/popped first.
+        l_near = ~(rent < lent)
+        near = jnp.where(l_near, l, r)
+        far = jnp.where(l_near, r, l)
+        near_hit = jnp.where(l_near, lhit, rhit)
+        far_hit = jnp.where(l_near, rhit, lhit)
+        is_leaf_level = node >= p2 // 2 if p2 > 1 else True
+        # Children of node are leaves iff node >= p2/2 (perfect heap).
+        child_leaf = node >= (p2 // 2)
+
+        @pl.when(near_hit & child_leaf)
+        def _():
+            visit_tile(near - p2, near - p2 < num_tiles)
+
+        @pl.when(far_hit & child_leaf)
+        def _():
+            visit_tile(far - p2, far - p2 < num_tiles)
+
+        push_far = far_hit & ~child_leaf
+        push_near = near_hit & ~child_leaf
+
+        @pl.when(push_far)
+        def _():
+            stack_ref[sp] = far
+
+        sp1 = sp + push_far.astype(jnp.int32)
+
+        @pl.when(push_near)
+        def _():
+            stack_ref[sp1] = near
+
+        del is_leaf_level
+        return sp1 + push_near.astype(jnp.int32)
+
+    if p2 == 1:
+        # Single-tile tree: just visit it (callers gate on TREE_MIN_TILES,
+        # but keep this total).
+        visit_tile(0, True)
+        return
+    stack_ref[0] = 1
+    jax.lax.while_loop(cond, body, 1)
 
 
-def _trace_kernel_t_rec(state_ref, tri_ref, bbox_ref, gbox_ref, table_ref,
-                        aux_ref, idx_ref, rec_ref, tmin_ref):
-    _trace_body_resident(
-        state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref, tmin_ref,
-        table_ref, rec_ref,
-    )
-
-
-def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref,
+def _make_trace_kernel_t(tile, group_tiles):
+    def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
                         idx_ref, tmin_ref):
+        _trace_body_resident(
+            state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
+            tmin_ref, tile=tile, group_tiles=group_tiles,
+        )
+
+    return _trace_kernel_t
+
+
+def _make_trace_kernel_t_rec(tile, group_tiles):
+    def _trace_kernel_t_rec(state_ref, tri_ref, bbox_ref, gbox_ref, table_ref,
+                            aux_ref, idx_ref, rec_ref, tmin_ref):
+        _trace_body_resident(
+            state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
+            tmin_ref, table_ref, rec_ref, tile=tile, group_tiles=group_tiles,
+        )
+
+    return _trace_kernel_t_rec
+
+
+def _make_trace_kernel_t_hbm(tile, group_tiles):
+    def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
+                            aux_ref, idx_ref, tmin_ref):
+        _trace_kernel_t_hbm_body(
+            state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
+            tmin_ref, tile, group_tiles,
+        )
+
+    return _trace_kernel_t_hbm
+
+
+def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
+                             aux_ref, idx_ref, tmin_ref, tile, group_tiles):
     """HBM-streaming variant: the transform bank stays in HBM.  The
     front-to-back group cull gates the DMA stream — a culled group of
-    GROUP_TILES tiles costs one slab test and moves ZERO bytes (r1 fetched
-    every tile: ~13 KB × all tiles × every ray block, which made
+    ``group_tiles`` tiles costs one slab test and moves ZERO bytes (r1
+    fetched every tile: ~13 KB × all tiles × every ray block, which made
     100k-triangle scenes DMA-bound).  Within a surviving group, tiles
     double-buffer so the copy of tile j+1 overlaps tile j's work."""
     Tp = tri_hbm_ref.shape[1]
@@ -627,24 +825,24 @@ def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref,
 
     def scoped(scratch, sems):
         def get_dma(slot, jt):
-            src = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
+            src = pl.multiple_of(jt * tile, tile)
             return pltpu.make_async_copy(
-                tri_hbm_ref.at[:, pl.ds(src, TRI_TILE_T)],
+                tri_hbm_ref.at[:, pl.ds(src, tile)],
                 scratch.at[slot],
                 sems.at[slot],
             )
 
         def process_group(g):
             # A group's first tile is always real (groups cover real tiles).
-            get_dma(0, g * GROUP_TILES).start()
+            get_dma(0, g * group_tiles).start()
 
             def tile_body(jg, _):
-                jt = g * GROUP_TILES + jg
+                jt = g * group_tiles + jg
                 real = jt < num_tiles
                 slot = jax.lax.rem(jg, 2)
                 nslot = jax.lax.rem(jg + 1, 2)
 
-                @pl.when((jg + 1 < GROUP_TILES) & (jt + 1 < num_tiles))
+                @pl.when((jg + 1 < group_tiles) & (jt + 1 < num_tiles))
                 def _():
                     get_dma(nslot, jt + 1).start()
 
@@ -660,7 +858,7 @@ def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref,
 
                 @pl.when(tile_hit)
                 def _():
-                    s = pl.multiple_of(jt * TRI_TILE_T, TRI_TILE_T)
+                    s = pl.multiple_of(jt * tile, tile)
                     _tile_update(
                         scratch[slot], o[0], o[1], o[2], d[0], d[1], d[2],
                         s, Tp, aux_ref, idx_ref,
@@ -668,7 +866,7 @@ def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref,
 
                 return 0
 
-            jax.lax.fori_loop(0, GROUP_TILES, tile_body, 0)
+            jax.lax.fori_loop(0, group_tiles, tile_body, 0)
 
         _front_to_back_groups(
             gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref,
@@ -677,7 +875,7 @@ def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref,
 
     pl.run_scoped(
         scoped,
-        scratch=pltpu.VMEM((2, _BANK_ROWS, TRI_TILE_T), jnp.float32),
+        scratch=pltpu.VMEM((2, _BANK_ROWS, tile), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -727,9 +925,10 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     # tile_bbox covers REAL tiles; the bank is padded to whole groups so
     # last-group DMA slices stay in bounds.
     real_tiles = tris.tile_bbox.shape[1]
-    assert tris.group_bbox.shape[1] == -(-real_tiles // GROUP_TILES)
-    assert tris.tri_data.shape[1] >= real_tiles * TRI_TILE_T
-    assert tris.tri_data.shape[1] % (TRI_TILE_T * GROUP_TILES) == 0
+    tile, group_tiles = tris.tile, tris.group_tiles
+    assert tris.group_bbox.shape[1] == -(-real_tiles // group_tiles)
+    assert tris.tri_data.shape[1] >= real_tiles * tile
+    assert tris.tri_data.shape[1] % (tile * group_tiles) == 0
     nb = R // lane_block
 
     tri_space = pltpu.ANY if streaming else pltpu.VMEM
@@ -750,7 +949,7 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     ]
     operands = [state16, tris.tri_data, tris.tile_bbox, tris.group_bbox]
     if emit_rec:
-        kernel = _trace_kernel_t_rec
+        kernel = _make_trace_kernel_t_rec(tile, group_tiles)
         in_specs.append(
             pl.BlockSpec(rec_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
@@ -760,7 +959,11 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
         out_shape.append(jax.ShapeDtypeStruct((24, R), jnp.float32))
         operands.append(rec_table)
     else:
-        kernel = _trace_kernel_t_hbm if streaming else _trace_kernel_t
+        kernel = (
+            _make_trace_kernel_t_hbm(tile, group_tiles)
+            if streaming
+            else _make_trace_kernel_t(tile, group_tiles)
+        )
 
     out = pl.pallas_call(
         kernel,

@@ -436,7 +436,8 @@ def _rspec(rows):
 PATH_LANE_BLOCK = 1024
 
 
-def _make_path_kernel(max_bounce: int, emissive_dummy: bool):
+def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
+                      group_tiles: int):
     from ..ops.mxu_intersect import _trace_body_resident
 
     def _path_kernel(state_ref, tri_ref, bbox_ref, gbox_ref, table_ref,
@@ -449,6 +450,7 @@ def _make_path_kernel(max_bounce: int, emissive_dummy: bool):
                 _trace_body_resident(
                     out_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
                     tmin_ref, table_ref, rec_ref,
+                    tile=tile, group_tiles=group_tiles,
                 )
                 _shade1_body(rec_ref, aux_ref, out_ref, bank_ref, out_ref,
                              bounce, emissive_dummy)
@@ -480,7 +482,8 @@ def path_trace_fused(
     nb = R // lane_block
 
     out = pl.pallas_call(
-        _make_path_kernel(max_bounce, emissive_dummy),
+        _make_path_kernel(max_bounce, emissive_dummy, tris.tile,
+                          tris.group_tiles),
         grid=(nb,),
         interpret=interpret,
         in_specs=[
