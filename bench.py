@@ -153,9 +153,13 @@ def run_large() -> int:
     from zig_raytracing_contest_tpu.render.pipeline import prepare_scene, render_scene
 
     width, height = 1280, 720
+    # Whole-frame waves: the per-bounce (dead, Morton, direction) sort gets
+    # ~7× more rays per bucket, so 512-lane blocks span tighter beams and
+    # the per-block tile culls reject more (1.16 → 1.78 Mrays/s measured
+    # vs 2^18-ray waves).
     config = Config(
         grid_resolution=(128, 128, 128), num_samples=2, max_bounce=3,
-        wave_size=1 << 18,
+        wave_size=1 << 21,
     )
     with tempfile.TemporaryDirectory() as d:
         scene_path = build_large_scene(Path(d) / "large.gltf")

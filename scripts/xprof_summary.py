@@ -24,7 +24,7 @@ def main():
         grid_resolution=(128, 128, 128),
         num_samples=2 if large else 3,
         max_bounce=3 if large else 4,
-        wave_size=1 << 18 if large else 1 << 19,
+        wave_size=1 << 21 if large else 1 << 19,  # match bench.py
     )
     with tempfile.TemporaryDirectory() as d:
         p = (build_large_scene if large else build_bench_scene)(Path(d) / "s.gltf")

@@ -1,0 +1,93 @@
+"""Morton-heap tree traversal (ops/mxu_intersect) vs the flat XLA oracle.
+
+The resident trace kernels switch to a depth-first traversal of the baked
+tile heap once a scene has TREE_MIN_TILES tiles; the fuzz suites' scenes
+are smaller, so this pins the tree path explicitly: same nearest hit as
+``nearest_hit_xla`` on every ACTIVE lane (inactive lanes are unspecified
+in trace_emit_aux — its callers mask by the alive row).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zig_raytracing_contest_tpu.ops import rng
+from zig_raytracing_contest_tpu.ops.mxu_intersect import (
+    TREE_MIN_TILES,
+    bake_triangles,
+    nearest_hit_xla,
+    trace_emit_aux,
+)
+
+
+def _random_bank(seed, T=4000, tile=128):
+    r = np.random.default_rng(seed)
+    v0 = r.uniform(-5, 5, (T, 3)).astype(np.float32)
+    e1 = r.normal(0, 0.5, (T, 3)).astype(np.float32)
+    e2 = r.normal(0, 0.5, (T, 3)).astype(np.float32)
+    return bake_triangles(v0, e1, e2, tile=tile)
+
+
+def test_tree_bake_shapes():
+    tris = _random_bank(0)
+    num_tiles = tris.tile_bbox.shape[1]
+    assert num_tiles >= TREE_MIN_TILES
+    p2 = tris.tree_bbox.shape[1] // 2
+    assert p2 >= num_tiles and p2 & (p2 - 1) == 0
+    tree = np.asarray(tris.tree_bbox)
+    # Leaves hold the tile boxes; padded leaves are the always-miss box.
+    np.testing.assert_array_equal(
+        tree[:, p2 : p2 + num_tiles], np.asarray(tris.tile_bbox)
+    )
+    if p2 > num_tiles:
+        assert np.all(tree[:, p2 + num_tiles :] == np.inf)
+    # Every internal node bounds its children (ignoring always-miss nodes).
+    for i in range(1, p2):
+        box = tree[:, i]
+        if np.all(box == np.inf):
+            continue
+        for c in (2 * i, 2 * i + 1):
+            child = tree[:, c]
+            if np.all(child == np.inf):
+                continue
+            assert np.all(box[0:3] <= child[0:3] + 1e-6)
+            assert np.all(box[3:6] >= child[3:6] - 1e-6)
+
+
+def test_tree_traversal_matches_oracle():
+    tris = _random_bank(3)
+    R = 1024
+    streams = rng.ray_streams(jnp.uint32(5), jnp.arange(R, dtype=jnp.int32))
+    org = (
+        jnp.stack([rng.uniform(streams, 40 + k) for k in range(3)], 1) * 16.0
+        - 8.0
+    )
+    g = jnp.stack([rng.normal3(streams, 9)[:, a] for a in range(3)], 1)
+    d = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+    active = rng.uniform(streams, 50) < 0.9
+
+    t_x, i_x, u_x, v_x = nearest_hit_xla(tris, org, d, active)
+
+    state = jnp.concatenate(
+        [
+            org.T,
+            d.T,
+            jnp.ones((3, R)),
+            jnp.zeros((3, R)),
+            active.astype(jnp.float32)[None],
+            jax.lax.bitcast_convert_type(streams, jnp.float32)[None],
+            jnp.zeros((2, R)),
+        ],
+        axis=0,
+    ).astype(jnp.float32)
+    aux, idx_m, _ = trace_emit_aux(tris, state, interpret=True)
+
+    act = np.asarray(active)
+    t_k = np.asarray(aux[2])
+    t_o = np.asarray(t_x)
+    hit = act & np.isfinite(t_o)
+    assert hit.sum() > 100  # the scene must actually get hit
+    np.testing.assert_array_equal(t_k[act], t_o[act])
+    np.testing.assert_array_equal(np.asarray(idx_m)[hit], np.asarray(i_x)[hit])
+    np.testing.assert_array_equal(np.asarray(aux[0])[hit], np.asarray(u_x)[hit])
+    np.testing.assert_array_equal(np.asarray(aux[1])[hit], np.asarray(v_x)[hit])

@@ -778,22 +778,25 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
 
 
 def _make_trace_kernel_t(tile, group_tiles):
-    def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
-                        idx_ref, tmin_ref):
+    def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
+                        aux_ref, idx_ref, tmin_ref, stack_ref):
         _trace_body_resident(
             state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             tmin_ref, tile=tile, group_tiles=group_tiles,
+            tree_ref=tree_ref, stack_ref=stack_ref,
         )
 
     return _trace_kernel_t
 
 
 def _make_trace_kernel_t_rec(tile, group_tiles):
-    def _trace_kernel_t_rec(state_ref, tri_ref, bbox_ref, gbox_ref, table_ref,
-                            aux_ref, idx_ref, rec_ref, tmin_ref):
+    def _trace_kernel_t_rec(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
+                            table_ref, aux_ref, idx_ref, rec_ref, tmin_ref,
+                            stack_ref):
         _trace_body_resident(
             state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             tmin_ref, table_ref, rec_ref, tile=tile, group_tiles=group_tiles,
+            tree_ref=tree_ref, stack_ref=stack_ref,
         )
 
     return _trace_kernel_t_rec
@@ -948,6 +951,15 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
         jax.ShapeDtypeStruct((1, R), jnp.int32),
     ]
     operands = [state16, tris.tri_data, tris.tile_bbox, tris.group_bbox]
+    scratch_shapes = [pltpu.SMEM((num_groups,), jnp.float32)]
+    if not streaming:
+        # Resident kernels also get the Morton-heap tree + a DFS stack.
+        in_specs.append(
+            pl.BlockSpec(tris.tree_bbox.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        operands.append(tris.tree_bbox)
+        scratch_shapes.append(pltpu.SMEM((TREE_MAX_STACK,), jnp.int32))
     if emit_rec:
         kernel = _make_trace_kernel_t_rec(tile, group_tiles)
         in_specs.append(
@@ -969,7 +981,7 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
         kernel,
         grid=(nb,),
         interpret=interpret,
-        scratch_shapes=[pltpu.SMEM((num_groups,), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.mxu_intersect import TREE_MAX_STACK
 from ..ops.rng import _bits, _u01
 from ..scene.types import (
     PACKED_COLS,
@@ -440,8 +441,9 @@ def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
                       group_tiles: int):
     from ..ops.mxu_intersect import _trace_body_resident
 
-    def _path_kernel(state_ref, tri_ref, bbox_ref, gbox_ref, table_ref,
-                     bank_ref, out_ref, aux_ref, idx_ref, rec_ref, tmin_ref):
+    def _path_kernel(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
+                     table_ref, bank_ref, out_ref, aux_ref, idx_ref, rec_ref,
+                     tmin_ref, stack_ref):
         out_ref[:, :] = state_ref[:, :]
         for bounce in range(max_bounce):
 
@@ -451,6 +453,7 @@ def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
                     out_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
                     tmin_ref, table_ref, rec_ref,
                     tile=tile, group_tiles=group_tiles,
+                    tree_ref=tree_ref, stack_ref=stack_ref,
                 )
                 _shade1_body(rec_ref, aux_ref, out_ref, bank_ref, out_ref,
                              bounce, emissive_dummy)
@@ -495,6 +498,8 @@ def path_trace_fused(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(tris.group_bbox.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(tris.tree_bbox.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(rec_table.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(bank.shape, lambda i: (0, 0),
@@ -508,8 +513,10 @@ def path_trace_fused(
             pltpu.VMEM((1, lane_block), jnp.int32),  # winner idx
             pltpu.VMEM((24, lane_block), jnp.float32),  # winner record
             pltpu.SMEM((num_groups,), jnp.float32),  # group entry t
+            pltpu.SMEM((TREE_MAX_STACK,), jnp.int32),  # tree DFS stack
         ],
-    )(state16, tris.tri_data, tris.tile_bbox, tris.group_bbox, rec_table, bank)
+    )(state16, tris.tri_data, tris.tile_bbox, tris.group_bbox,
+      tris.tree_bbox, rec_table, bank)
     del real_tiles
     return out
 

@@ -26,8 +26,8 @@ import numpy as np
 from ..grid.builder import GridBuild
 from ..ops.dda import GridParams
 from ..ops.mxu_intersect import (
-    REC_EMIT_MAX_TRIS,
     TRI_TILE_SMALL,
+    VMEM_RESIDENT_MAX_TRIS,
     MXUTriangles,
     bake_triangles,
 )
@@ -211,9 +211,10 @@ def build_device_scene(
         return np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
 
     shade_np = build_shade_table(geometry, materials)
-    # Finer 128-triangle tiles for fully-resident scenes: tighter cull
-    # boxes, measured +17% on the official bench; larger scenes keep 256
-    # (finer tiles measured worse in the streaming regime).
+    # Finer 128-triangle tiles for VMEM-resident scenes: tighter cull
+    # boxes, measured +17% on the official bench and +18% on the 100k-
+    # triangle bench; the HBM-streaming regime keeps 256 (finer tiles
+    # measured worse there — per-tile DMA overhead beats the culling).
     mxu = (
         bake_triangles(
             geometry.positions[:, 0],
@@ -221,7 +222,7 @@ def build_device_scene(
             geometry.positions[:, 2] - geometry.positions[:, 0],
             tile=(
                 TRI_TILE_SMALL
-                if geometry.num_triangles <= REC_EMIT_MAX_TRIS
+                if geometry.num_triangles <= VMEM_RESIDENT_MAX_TRIS
                 else 256
             ),
         )
