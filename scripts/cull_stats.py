@@ -24,7 +24,7 @@ from zig_raytracing_contest_tpu.render.pipeline import prepare_scene
 
 def main():
     large = "--large" in sys.argv
-    R = 1 << 18
+    R = 1 << 21 if large else 1 << 18
     width = 1280
     cfg = Config(grid_resolution=(128, 128, 128))
     with tempfile.TemporaryDirectory() as d:

@@ -91,3 +91,50 @@ def test_tree_traversal_matches_oracle():
     np.testing.assert_array_equal(np.asarray(idx_m)[hit], np.asarray(i_x)[hit])
     np.testing.assert_array_equal(np.asarray(aux[0])[hit], np.asarray(u_x)[hit])
     np.testing.assert_array_equal(np.asarray(aux[1])[hit], np.asarray(v_x)[hit])
+
+
+def test_streaming_group_tree_matches_oracle(monkeypatch):
+    """The HBM-streaming kernel's tree-over-groups traversal (forced via
+    the VMEM threshold, with enough groups to cross the tree gate) agrees
+    with the flat XLA oracle on every active lane."""
+    from zig_raytracing_contest_tpu.ops import mxu_intersect as mi
+
+    # 16384 triangles @ tile 128 -> 128 tiles -> 16 groups (>= gate).
+    tris = _random_bank(11, T=16384, tile=128)
+    assert tris.group_bbox.shape[1] >= TREE_MIN_TILES
+
+    R = 512
+    streams = rng.ray_streams(jnp.uint32(9), jnp.arange(R, dtype=jnp.int32))
+    org = (
+        jnp.stack([rng.uniform(streams, 40 + k) for k in range(3)], 1) * 16.0
+        - 8.0
+    )
+    g = jnp.stack([rng.normal3(streams, 9)[:, a] for a in range(3)], 1)
+    d = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+    active = rng.uniform(streams, 50) < 0.9
+
+    t_x, i_x, _, _ = nearest_hit_xla(tris, org, d, active)
+
+    state = jnp.concatenate(
+        [
+            org.T,
+            d.T,
+            jnp.ones((3, R)),
+            jnp.zeros((3, R)),
+            active.astype(jnp.float32)[None],
+            jax.lax.bitcast_convert_type(streams, jnp.float32)[None],
+            jnp.zeros((2, R)),
+        ],
+        axis=0,
+    ).astype(jnp.float32)
+    monkeypatch.setattr(mi, "VMEM_RESIDENT_MAX_TRIS", 0)  # force streaming
+    trace_emit_aux._clear_cache()
+    aux, idx_m, _ = trace_emit_aux(tris, state, interpret=True)
+    trace_emit_aux._clear_cache()
+
+    act = np.asarray(active)
+    t_o = np.asarray(t_x)
+    hit = act & np.isfinite(t_o)
+    assert hit.sum() > 50
+    np.testing.assert_array_equal(np.asarray(aux[2])[act], t_o[act])
+    np.testing.assert_array_equal(np.asarray(idx_m)[hit], np.asarray(i_x)[hit])

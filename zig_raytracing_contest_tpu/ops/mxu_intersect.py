@@ -104,6 +104,10 @@ class MXUTriangles:
                every ray.  Node 0 is unused.  The resident trace kernels
                traverse this heap depth-first (near child first) instead
                of sweeping the flat tile list once there are enough tiles.
+    group_tree_bbox: the same heap construction over the GROUP boxes — the
+               HBM-streaming kernel traverses this one (its unit of work
+               and DMA gating is the group; a tile-level tree for a
+               multi-million-triangle scene would not fit SMEM).
     tile / group_tiles: STATIC bake geometry (pytree aux data, so the jit
                cache keys on them and kernels unroll with the right sizes).
     """
@@ -113,13 +117,14 @@ class MXUTriangles:
     perm: jnp.ndarray
     group_bbox: jnp.ndarray
     tree_bbox: jnp.ndarray
+    group_tree_bbox: jnp.ndarray
     tile: int = TRI_TILE
     group_tiles: int = GROUP_TILES
 
     def tree_flatten(self):
         return (
             (self.tri_data, self.tile_bbox, self.perm, self.group_bbox,
-             self.tree_bbox),
+             self.tree_bbox, self.group_tree_bbox),
             (self.tile, self.group_tiles),
         )
 
@@ -141,6 +146,29 @@ def _morton3(q: np.ndarray) -> np.ndarray:
     return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
         spread(q[:, 2]) << np.uint64(2)
     )
+
+
+def _build_heap(leaf_bbox: np.ndarray) -> np.ndarray:
+    """(6, N) leaf boxes → (6, 2·P2) implicit binary heap (P2 = next pow2).
+
+    Empty subtrees (and padded leaves) store the always-miss box
+    [min=max=+inf]: every slab test yields tmin=+inf (miss via tmin>=best,
+    even at best=inf) or tmax=-inf (miss via tmax<=0) for any finite ray.
+    """
+    n = leaf_bbox.shape[1]
+    p2 = 1
+    while p2 < n:
+        p2 *= 2
+    tree = np.zeros((6, 2 * p2), np.float32)
+    tree[0:3, :] = np.float32(np.inf)
+    tree[3:6, :] = -np.float32(np.inf)
+    tree[:, p2 : p2 + n] = leaf_bbox
+    for i in range(p2 - 1, 0, -1):
+        tree[0:3, i] = np.minimum(tree[0:3, 2 * i], tree[0:3, 2 * i + 1])
+        tree[3:6, i] = np.maximum(tree[3:6, 2 * i], tree[3:6, 2 * i + 1])
+    em = (tree[3:6] < tree[0:3]).any(axis=0)
+    tree[:, em] = np.float32(np.inf)
+    return tree
 
 
 def bake_triangles(
@@ -210,22 +238,10 @@ def bake_triangles(
     group_bbox[0:3] = g_tiles[0:3].min(axis=2)
     group_bbox[3:6] = g_tiles[3:6].max(axis=2)
 
-    # Implicit Morton-heap tree over the tiles (see MXUTriangles.tree_bbox).
-    p2 = 1
-    while p2 < num_tiles:
-        p2 *= 2
-    tree = np.zeros((6, 2 * p2), np.float32)
-    tree[0:3, :] = np.float32(np.inf)
-    tree[3:6, :] = -np.float32(np.inf)
-    tree[:, p2 : p2 + num_tiles] = tile_bbox
-    for i in range(p2 - 1, 0, -1):
-        tree[0:3, i] = np.minimum(tree[0:3, 2 * i], tree[0:3, 2 * i + 1])
-        tree[3:6, i] = np.maximum(tree[3:6, 2 * i], tree[3:6, 2 * i + 1])
-    # Empty subtrees → the always-miss box (min=max=+inf): every slab test
-    # yields tmin=+inf (miss via tmin>=best, even at best=inf) or
-    # tmax=-inf (miss via tmax<=0) for any finite ray.
-    em = (tree[3:6] < tree[0:3]).any(axis=0)
-    tree[:, em] = np.float32(np.inf)
+    # Implicit Morton-heap trees over the tiles and over the groups (see
+    # MXUTriangles.tree_bbox / group_tree_bbox).
+    tree = _build_heap(tile_bbox)
+    group_tree = _build_heap(group_bbox)
 
     perm = np.zeros(Tp, np.int32)
     perm[:T] = order.astype(np.int32)
@@ -235,6 +251,7 @@ def bake_triangles(
         perm=jnp.asarray(perm),
         group_bbox=jnp.asarray(group_bbox),
         tree_bbox=jnp.asarray(tree),
+        group_tree_bbox=jnp.asarray(group_tree),
         tile=tile,
         group_tiles=group_tiles,
     )
@@ -531,10 +548,12 @@ def _cull_any(bbox_ref, j, o, inv, best, active):
 
 
 def _cull_entry(bbox_ref, j, o, inv, best, active):
-    """(any-lane-hit, block entry t) of box column ``j`` — the tree
-    traversal's child test.  ``entry`` is min over passing lanes of the
-    clamped slab entry (scalar, +inf when no lane passes); it only orders
-    sibling visits, so a NaN from a degenerate slab is harmless."""
+    """Block entry t of box column ``j`` — the tree traversal's child
+    test, folded into ONE vector→scalar reduction: min over passing lanes
+    of the clamped slab entry, +inf when NO lane passes (so
+    ``entry < inf`` doubles as the any-lane-hit flag).  A NaN slab tmin
+    (origin on a plane of an axis-parallel ray) maps to 0.0 — processed,
+    never skipped, and first in order."""
     tx1 = (bbox_ref[0, j] - o[0]) * inv[0]
     tx2 = (bbox_ref[3, j] - o[0]) * inv[0]
     ty1 = (bbox_ref[1, j] - o[1]) * inv[1]
@@ -551,8 +570,8 @@ def _cull_entry(bbox_ref, j, o, inv, best, active):
     )
     box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
     passed = active & ~box_miss
-    entry = jnp.min(jnp.where(passed, jnp.maximum(tmin, 0.0), INF))
-    return jnp.any(passed), entry
+    tmn0 = jnp.where(tmin >= 0.0, tmin, 0.0)  # NaN → 0 (front of order)
+    return jnp.min(jnp.where(passed, tmn0, INF))
 
 
 DIST_BINS = 16  # front-to-back group ordering granularity
@@ -655,36 +674,41 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
     if rec_ref is not None:
         rec_ref[:, :] = jnp.zeros(rec_ref.shape, jnp.float32)
 
-    def visit_tile(jt, real):
-        jc = jnp.minimum(jt, num_tiles - 1)  # clamp the SMEM bbox read
+    def sweep_tile(jt):
         # (256-lane sub-block predication was tried here and measured WORSE
         # — trace 364 → 442 ms/frame: the per-sub-block branch + reduce
         # overhead exceeds the finer-cull savings.  Whole-block updates.)
+        s = pl.multiple_of(jt * tile, tile)
+        rows = tri_ref[:, pl.ds(s, tile)]  # (13, Kt)
+        _tile_update(
+            rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
+            aux_ref, idx_ref,
+            table_rows=(
+                table_ref[:, pl.ds(s, tile)]
+                if table_ref is not None
+                else None
+            ),
+            rec_ref=rec_ref,
+        )
+
+    def visit_tile(jt, real):
+        jc = jnp.minimum(jt, num_tiles - 1)  # clamp the SMEM bbox read
         hit = real & _cull_any(bbox_ref, jc, o, inv, aux_ref[2, :], active)
 
         @pl.when(hit)
         def _():
-            s = pl.multiple_of(jt * tile, tile)
-            rows = tri_ref[:, pl.ds(s, tile)]  # (13, Kt)
-            _tile_update(
-                rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
-                aux_ref, idx_ref,
-                table_rows=(
-                    table_ref[:, pl.ds(s, tile)]
-                    if table_ref is not None
-                    else None
-                ),
-                rec_ref=rec_ref,
-            )
+            sweep_tile(jt)
 
     if (
         tree_ref is not None
         and stack_ref is not None
         and num_tiles >= TREE_MIN_TILES
     ):
+        # The traversal's own child test IS the tile cull (leaf box =
+        # tile box), so leaves sweep directly.
         _tree_traverse(
-            tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
-            num_tiles,
+            tree_ref, stack_ref, o, inv, active, aux_ref,
+            lambda jt, real: sweep_tile(jt), num_tiles,
         )
         return
 
@@ -716,8 +740,12 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
     visited inline at its parent's expansion (so pops never waste child
     tests on leaves).  Every pop re-tests against the RUNNING best
     (aux_ref[2]), so subtrees behind already-settled hits are occlusion-
-    culled even if they were pushed before the best tightened.  Leaves
-    re-cull inside visit_tile; padded leaves hold the always-miss box."""
+    culled even if they were pushed before the best tightened.  A leaf
+    that passed its child test is visited WITHOUT re-culling (same box,
+    same best — visit_tile's own cull would be a duplicate; padded leaves
+    hold the always-miss box so they can never pass).  Cost per internal
+    expansion: three slab tests, three scalar reductions (_cull_entry
+    folds hit + ordering-distance into one min-reduce)."""
     p2 = tree_ref.shape[1] // 2
 
     def cond(sp):
@@ -727,30 +755,31 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
         sp = sp - 1
         node = stack_ref[sp]
         best = aux_ref[2, :]
-        hit = _cull_any(tree_ref, node, o, inv, best, active)
+        hit = _cull_entry(tree_ref, node, o, inv, best, active) < INF
         l = 2 * node
         r = 2 * node + 1
-        lhit, lent = _cull_entry(tree_ref, l, o, inv, best, active)
-        rhit, rent = _cull_entry(tree_ref, r, o, inv, best, active)
-        lhit &= hit
-        rhit &= hit
+        lent = jnp.where(
+            hit, _cull_entry(tree_ref, l, o, inv, best, active), INF
+        )
+        rent = jnp.where(
+            hit, _cull_entry(tree_ref, r, o, inv, best, active), INF
+        )
         # Near child (smaller block entry) is visited/popped first.
         l_near = ~(rent < lent)
         near = jnp.where(l_near, l, r)
         far = jnp.where(l_near, r, l)
-        near_hit = jnp.where(l_near, lhit, rhit)
-        far_hit = jnp.where(l_near, rhit, lhit)
-        is_leaf_level = node >= p2 // 2 if p2 > 1 else True
+        near_hit = jnp.where(l_near, lent, rent) < INF
+        far_hit = jnp.where(l_near, rent, lent) < INF
         # Children of node are leaves iff node >= p2/2 (perfect heap).
         child_leaf = node >= (p2 // 2)
 
         @pl.when(near_hit & child_leaf)
         def _():
-            visit_tile(near - p2, near - p2 < num_tiles)
+            visit_tile(jnp.minimum(near - p2, num_tiles - 1), True)
 
         @pl.when(far_hit & child_leaf)
         def _():
-            visit_tile(far - p2, far - p2 < num_tiles)
+            visit_tile(jnp.minimum(far - p2, num_tiles - 1), True)
 
         push_far = far_hit & ~child_leaf
         push_near = near_hit & ~child_leaf
@@ -765,7 +794,6 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
         def _():
             stack_ref[sp1] = near
 
-        del is_leaf_level
         return sp1 + push_near.astype(jnp.int32)
 
     if p2 == 1:
@@ -804,17 +832,18 @@ def _make_trace_kernel_t_rec(tile, group_tiles):
 
 def _make_trace_kernel_t_hbm(tile, group_tiles):
     def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
-                            aux_ref, idx_ref, tmin_ref):
+                            gtree_ref, aux_ref, idx_ref, tmin_ref, stack_ref):
         _trace_kernel_t_hbm_body(
             state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
-            tmin_ref, tile, group_tiles,
+            tmin_ref, tile, group_tiles, gtree_ref, stack_ref,
         )
 
     return _trace_kernel_t_hbm
 
 
 def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
-                             aux_ref, idx_ref, tmin_ref, tile, group_tiles):
+                             aux_ref, idx_ref, tmin_ref, tile, group_tiles,
+                             gtree_ref=None, stack_ref=None):
     """HBM-streaming variant: the transform bank stays in HBM.  The
     front-to-back group cull gates the DMA stream — a culled group of
     ``group_tiles`` tiles costs one slab test and moves ZERO bytes (r1
@@ -870,6 +899,24 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                 return 0
 
             jax.lax.fori_loop(0, group_tiles, tile_body, 0)
+
+        if (
+            gtree_ref is not None
+            and stack_ref is not None
+            and num_groups >= TREE_MIN_TILES
+        ):
+            # Tree-over-groups: node tests scale with the groups a block's
+            # beam reaches (the flat front-to-back pass cost a slab test
+            # per group per block — ~1000 for a 2M-triangle scene), and a
+            # culled subtree moves zero bytes.  Leaves re-cull inside
+            # visit_group before starting any DMA.
+            # The traversal's child test is the group cull (leaf box =
+            # group box): a passing leaf starts its DMA loop directly.
+            _tree_traverse(
+                gtree_ref, stack_ref, o, inv, active, aux_ref,
+                lambda g, real: process_group(g), num_groups,
+            )
+            return
 
         _front_to_back_groups(
             gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref,
@@ -951,15 +998,17 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
         jax.ShapeDtypeStruct((1, R), jnp.int32),
     ]
     operands = [state16, tris.tri_data, tris.tile_bbox, tris.group_bbox]
-    scratch_shapes = [pltpu.SMEM((num_groups,), jnp.float32)]
-    if not streaming:
-        # Resident kernels also get the Morton-heap tree + a DFS stack.
-        in_specs.append(
-            pl.BlockSpec(tris.tree_bbox.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM)
-        )
-        operands.append(tris.tree_bbox)
-        scratch_shapes.append(pltpu.SMEM((TREE_MAX_STACK,), jnp.int32))
+    scratch_shapes = [
+        pltpu.SMEM((num_groups,), jnp.float32),
+    ]
+    # Every kernel gets a Morton-heap + DFS stack: the resident ones
+    # traverse the TILE tree, the streaming one the GROUP tree.
+    heap = tris.group_tree_bbox if streaming else tris.tree_bbox
+    in_specs.append(
+        pl.BlockSpec(heap.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    )
+    operands.append(heap)
+    scratch_shapes.append(pltpu.SMEM((TREE_MAX_STACK,), jnp.int32))
     if emit_rec:
         kernel = _make_trace_kernel_t_rec(tile, group_tiles)
         in_specs.append(

@@ -438,14 +438,14 @@ PATH_LANE_BLOCK = 1024
 
 
 def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
-                      group_tiles: int):
+                      group_tiles: int, bounce0: int = 0):
     from ..ops.mxu_intersect import _trace_body_resident
 
     def _path_kernel(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
                      table_ref, bank_ref, out_ref, aux_ref, idx_ref, rec_ref,
                      tmin_ref, stack_ref):
         out_ref[:, :] = state_ref[:, :]
-        for bounce in range(max_bounce):
+        for bounce in range(bounce0, bounce0 + max_bounce):
 
             @pl.when(jnp.any(out_ref[12, :] > 0.0))
             def _(bounce=bounce):
@@ -463,7 +463,8 @@ def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
 
 @partial(
     jax.jit,
-    static_argnames=("max_bounce", "emissive_dummy", "interpret", "lane_block"),
+    static_argnames=("max_bounce", "emissive_dummy", "interpret",
+                     "lane_block", "bounce0"),
 )
 def path_trace_fused(
     tris,  # ops.mxu_intersect.MXUTriangles (VMEM-resident, rec-emit sized)
@@ -474,10 +475,13 @@ def path_trace_fused(
     emissive_dummy: bool,
     interpret: bool = False,
     lane_block: int = PATH_LANE_BLOCK,
+    bounce0: int = 0,
 ):
-    """Full path trace of a wave in one kernel.  Returns the final (16, R)
-    state (radiance rows 9-11, segment row 14), identical to composing
-    trace_emit_aux + shade_fused for max_bounce bounces."""
+    """Path-trace ``max_bounce`` bounces (globally numbered from
+    ``bounce0`` — the RNG decorrelation tags are per absolute bounce) in
+    one kernel.  Returns the final (16, R) state (radiance rows 9-11,
+    segment row 14), identical to composing trace_emit_aux + shade_fused
+    over the same bounce range."""
     R = state16.shape[1]
     assert R % lane_block == 0, f"wave {R} not a multiple of {lane_block}"
     real_tiles = tris.tile_bbox.shape[1]
@@ -486,7 +490,7 @@ def path_trace_fused(
 
     out = pl.pallas_call(
         _make_path_kernel(max_bounce, emissive_dummy, tris.tile,
-                          tris.group_tiles),
+                          tris.group_tiles, bounce0),
         grid=(nb,),
         interpret=interpret,
         in_specs=[

@@ -45,32 +45,37 @@ TRI_BATCH = 4
 # cheaper than the sort itself.
 SORT_MIN_TRIS = 1 << 16
 
+# Whole-path-kernel scenes: split the path at bounce 0 and compact/beam-
+# sort the survivors once (see render_wave).
+SORT_AFTER_BOUNCE0 = True
+
 
 def _ray_sort_key(scene: DeviceScene, state):
-    """int32 sort key per lane: (dead, origin Morton cell, direction cell).
+    """int32 sort key per lane: (dead, 6-D Morton of origin × direction).
 
     Dead rays get the largest keys (they compact to the tail, forming
-    all-dead lane blocks the trace/shade kernels skip); live rays cluster
-    by 4-bit-per-axis Morton cell of the origin, then by 3-bit-per-axis
-    quantized direction, so a 512-lane block sees a compact narrow frustum
-    and the per-block AABB culls actually reject groups/tiles.  The
-    direction bits matter even for shared-origin primary rays, where the
-    origin cell is degenerate.
+    all-dead lane blocks the trace/shade kernels skip).  Live rays sort by
+    a SIX-dimensional Morton code — 5 bits per origin axis and 5 bits per
+    direction axis, INTERLEAVED — so a lane block is compact in position
+    AND direction simultaneously: a narrow beam.  The earlier position-
+    major key (morton then dir) made each 512-lane block exactly one
+    origin cell spanning every direction — an omnidirectional shell whose
+    per-block culls rejected little; switching to the interleaved code
+    measured 2.11 → 2.86 Mrays/s on the 100k-triangle bench (4+4 bits:
+    2.75).  (Finer position-ONLY bits fragment blocks and measured worse
+    both before and after the switch.)
     """
     dead = (state[12] <= 0.0).astype(jnp.int32)
     span = jnp.maximum(scene.grid.bbox_max - scene.grid.bbox_min, 1e-30)
     rel = (state[0:3] - scene.grid.bbox_min[:, None]) / span[:, None]
-    # 4 bits/axis position, 3 bits/axis direction: finer position bits
-    # (6b/axis) measured WORSE end-to-end (1.45 → 1.18 Mrays/s on the 100k
-    # scene) — blocks fragment across tiny cells and lose direction purity.
-    q = jnp.clip(rel * 16.0, 0.0, 15.0).astype(jnp.int32)  # (3, R)
-    morton = jnp.zeros_like(dead)
-    for b in range(4):
+    q = jnp.clip(rel * 32.0, 0.0, 31.0).astype(jnp.int32)  # (3, R) 5b/axis
+    dq = jnp.clip((state[3:6] + 1.0) * 16.0, 0.0, 31.0).astype(jnp.int32)
+    key = jnp.zeros_like(dead)
+    for b in range(5):
         for a in range(3):
-            morton = morton | (((q[a] >> b) & 1) << (3 * b + a))
-    dq = jnp.clip((state[3:6] + 1.0) * 4.0, 0.0, 7.0).astype(jnp.int32)  # (3, R)
-    dir_cell = (dq[0] * 8 + dq[1]) * 8 + dq[2]
-    return (dead * (1 << 12) + morton) * 512 + dir_cell
+            key = key | (((q[a] >> b) & 1) << (6 * b + 2 * a))
+            key = key | (((dq[a] >> b) & 1) << (6 * b + 2 * a + 1))
+    return (dead << 30) | key
 
 
 class TraceResult(NamedTuple):
@@ -352,14 +357,38 @@ def render_wave(
             # call (fused.path_trace_fused) — the fully-VMEM-resident
             # regime.  Saves ~2·max_bounce grid-step taxes per block and
             # skips whole bounces for blocks that go all-dead.
+            #
+            # The path is split at bounce 0: primaries run raster-ordered
+            # (already coherent), then ONE (dead, 6-D Morton) sort compacts
+            # dead rays into kernel-skipped blocks and tightens live
+            # blocks into beams for the remaining bounces.  On-device
+            # argsort is ~1 ms/million rays — on the official scene 87% of
+            # rays die after bounce 0 but stay scattered without this.
             from .fused import path_trace_fused
 
+            ed = scene.emissive_all_dummy is not None
+            if max_bounce <= 1 or not SORT_AFTER_BOUNCE0:
+                state = path_trace_fused(
+                    scene.mxu, state, scene.shade_table_t,
+                    scene.color_u16f_t, max_bounce, ed, interpret=interpret,
+                )
+                return pixel, state[9:12].T, state[14].astype(jnp.int32)
             state = path_trace_fused(
                 scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
-                max_bounce, scene.emissive_all_dummy is not None,
-                interpret=interpret,
+                1, ed, interpret=interpret,
             )
-            return pixel, state[9:12].T, state[14].astype(jnp.int32)
+            perm = jnp.argsort(_ray_sort_key(scene, state))
+            state = jnp.take(state, perm, axis=1)
+            state = path_trace_fused(
+                scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+                max_bounce - 1, ed, interpret=interpret, bounce0=1,
+            )
+            inv = jnp.argsort(perm)
+            return (
+                pixel,
+                jnp.take(state[9:12], inv, axis=1).T,
+                jnp.take(state[14], inv).astype(jnp.int32),
+            )
 
         # Bounce-ray reordering: bounce rays scatter in direction and origin,
         # which defeats the trace kernel's per-block tile culls.  For scenes
