@@ -547,6 +547,42 @@ def _cull_any(bbox_ref, j, o, inv, best, active):
     return jnp.any(_cull_mask(bbox_ref, j, o, inv, best, active))
 
 
+def _cull_entry2(bbox_ref, l, r, o, inv, best, active):
+    """Batched child test: block entry t of box columns ``l`` and ``r`` as
+    a (2,) vector — ONE (2, LB) slab computation and ONE lane-reduce for
+    both children (separate 1-D tests wasted sublanes and paid a scalar
+    reduction each).  +inf in a slot means no lane passes that child.
+    NaN tmin (origin on a plane of an axis-parallel ray) maps to 0.0."""
+
+    def two(k):
+        return jnp.stack([bbox_ref[k, l], bbox_ref[k, r]])[:, None]  # (2, 1)
+
+    ox = o[0][None, :]
+    oy = o[1][None, :]
+    oz = o[2][None, :]
+    ix = inv[0][None, :]
+    iy = inv[1][None, :]
+    iz = inv[2][None, :]
+    tx1 = (two(0) - ox) * ix
+    tx2 = (two(3) - ox) * ix
+    ty1 = (two(1) - oy) * iy
+    ty2 = (two(4) - oy) * iy
+    tz1 = (two(2) - oz) * iz
+    tz2 = (two(5) - oz) * iz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
+        jnp.minimum(tz1, tz2),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
+        jnp.maximum(tz1, tz2),
+    )
+    box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best[None, :])
+    passed = active[None, :] & ~box_miss
+    tmn0 = jnp.where(tmin >= 0.0, tmin, 0.0)
+    return jnp.min(jnp.where(passed, tmn0, INF), axis=1)  # (2,)
+
+
 def _cull_entry(bbox_ref, j, o, inv, best, active):
     """Block entry t of box column ``j`` — the tree traversal's child
     test, folded into ONE vector→scalar reduction: min over passing lanes
@@ -661,6 +697,9 @@ TREE_MIN_TILES = 16
 # DFS stack bound: only internal nodes are pushed, ≤ 2 per expansion, so
 # depth ≤ log2(P2) + 1; 48 covers any P2 the SMEM tree could hold.
 TREE_MAX_STACK = 48
+# Expansion style: batched (2, LB) child test + one reduce, vs three 1-D
+# tests (pop re-test + per-child) with a reduce each.  A/B'd on-chip.
+TREE_CHILD_BATCH = True
 
 
 def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
@@ -740,12 +779,13 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
     visited inline at its parent's expansion (so pops never waste child
     tests on leaves).  Every pop re-tests against the RUNNING best
     (aux_ref[2]), so subtrees behind already-settled hits are occlusion-
-    culled even if they were pushed before the best tightened.  A leaf
-    that passed its child test is visited WITHOUT re-culling (same box,
-    same best — visit_tile's own cull would be a duplicate; padded leaves
-    hold the always-miss box so they can never pass).  Cost per internal
-    expansion: three slab tests, three scalar reductions (_cull_entry
-    folds hit + ordering-distance into one min-reduce)."""
+    culled even if they were pushed before the best tightened (each
+    expansion tests its children against the CURRENT best).  A leaf that
+    passed its child test is visited WITHOUT re-culling (same box, same
+    best — visit_tile's own cull would be a duplicate; padded leaves hold
+    the always-miss box so they can never pass).  Cost per internal
+    expansion: ONE (2, LB) slab computation and ONE lane-reduce
+    (_cull_entry2 folds both children's hit + ordering-distance)."""
     p2 = tree_ref.shape[1] // 2
 
     def cond(sp):
@@ -755,15 +795,23 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
         sp = sp - 1
         node = stack_ref[sp]
         best = aux_ref[2, :]
-        hit = _cull_entry(tree_ref, node, o, inv, best, active) < INF
         l = 2 * node
         r = 2 * node + 1
-        lent = jnp.where(
-            hit, _cull_entry(tree_ref, l, o, inv, best, active), INF
-        )
-        rent = jnp.where(
-            hit, _cull_entry(tree_ref, r, o, inv, best, active), INF
-        )
+        if TREE_CHILD_BATCH:
+            # No pop re-test: the node's box is its children's union and
+            # both children are tested here against the CURRENT best, so a
+            # parent test could only reject what the child tests reject.
+            ent = _cull_entry2(tree_ref, l, r, o, inv, best, active)
+            lent = ent[0]
+            rent = ent[1]
+        else:
+            hit = _cull_entry(tree_ref, node, o, inv, best, active) < INF
+            lent = jnp.where(
+                hit, _cull_entry(tree_ref, l, o, inv, best, active), INF
+            )
+            rent = jnp.where(
+                hit, _cull_entry(tree_ref, r, o, inv, best, active), INF
+            )
         # Near child (smaller block entry) is visited/popped first.
         l_near = ~(rent < lent)
         near = jnp.where(l_near, l, r)
