@@ -92,14 +92,17 @@ def main():
         t_sh = best_time(lambda: shade_fused(scene, st_in, aux, tri, bounce,
                                              block_skip=sort_rays, rec=rec))
         swept = aux[5]
+        expans = aux[6]
         alive = aux[4] > 0.0
         n_alive = int(alive.sum())
         blocks_live = jnp.any(alive.reshape(-1, lb), axis=1)
         mean_alive = float(jnp.where(alive, swept, 0.0).sum()) / max(n_alive, 1)
+        mean_exp = float(jnp.where(alive, expans, 0.0).sum()) / max(n_alive, 1)
         print(
             f"bounce {bounce}: alive {n_alive:7d}/{R} | live blocks "
             f"{int(blocks_live.sum()):4d}/{blocks_live.shape[0]} (lb={lb}) | "
             f"swept/alive-ray {mean_alive:6.2f} of {tiles} | "
+            f"tree expansions {mean_exp:6.2f} | "
             f"trace {t_tr*1e3:7.2f} ms  shade {t_sh*1e3:6.2f} ms"
         )
         state = shade_fused(scene, state, aux, tri, bounce,

@@ -547,15 +547,16 @@ def _cull_any(bbox_ref, j, o, inv, best, active):
     return jnp.any(_cull_mask(bbox_ref, j, o, inv, best, active))
 
 
-def _cull_entry2(bbox_ref, l, r, o, inv, best, active):
-    """Batched child test: block entry t of box columns ``l`` and ``r`` as
-    a (2,) vector — ONE (2, LB) slab computation and ONE lane-reduce for
-    both children (separate 1-D tests wasted sublanes and paid a scalar
-    reduction each).  +inf in a slot means no lane passes that child.
-    NaN tmin (origin on a plane of an axis-parallel ray) maps to 0.0."""
+def _cull_entry_batch(bbox_ref, nodes, o, inv, best, active):
+    """Batched box test: block entry t of the box columns in ``nodes``
+    (a list of traced scalars) as an (N,) vector — ONE (N, LB) slab
+    computation and ONE lane-reduce for all of them (separate 1-D tests
+    waste sublanes and pay a scalar reduction each).  +inf in a slot
+    means no lane passes that box.  NaN tmin (origin on a plane of an
+    axis-parallel ray) maps to 0.0."""
 
-    def two(k):
-        return jnp.stack([bbox_ref[k, l], bbox_ref[k, r]])[:, None]  # (2, 1)
+    def col(k):
+        return jnp.stack([bbox_ref[k, n] for n in nodes])[:, None]  # (N, 1)
 
     ox = o[0][None, :]
     oy = o[1][None, :]
@@ -563,12 +564,12 @@ def _cull_entry2(bbox_ref, l, r, o, inv, best, active):
     ix = inv[0][None, :]
     iy = inv[1][None, :]
     iz = inv[2][None, :]
-    tx1 = (two(0) - ox) * ix
-    tx2 = (two(3) - ox) * ix
-    ty1 = (two(1) - oy) * iy
-    ty2 = (two(4) - oy) * iy
-    tz1 = (two(2) - oz) * iz
-    tz2 = (two(5) - oz) * iz
+    tx1 = (col(0) - ox) * ix
+    tx2 = (col(3) - ox) * ix
+    ty1 = (col(1) - oy) * iy
+    ty2 = (col(4) - oy) * iy
+    tz1 = (col(2) - oz) * iz
+    tz2 = (col(5) - oz) * iz
     tmin = jnp.maximum(
         jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
         jnp.minimum(tz1, tz2),
@@ -580,34 +581,7 @@ def _cull_entry2(bbox_ref, l, r, o, inv, best, active):
     box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best[None, :])
     passed = active[None, :] & ~box_miss
     tmn0 = jnp.where(tmin >= 0.0, tmin, 0.0)
-    return jnp.min(jnp.where(passed, tmn0, INF), axis=1)  # (2,)
-
-
-def _cull_entry(bbox_ref, j, o, inv, best, active):
-    """Block entry t of box column ``j`` — the tree traversal's child
-    test, folded into ONE vector→scalar reduction: min over passing lanes
-    of the clamped slab entry, +inf when NO lane passes (so
-    ``entry < inf`` doubles as the any-lane-hit flag).  A NaN slab tmin
-    (origin on a plane of an axis-parallel ray) maps to 0.0 — processed,
-    never skipped, and first in order."""
-    tx1 = (bbox_ref[0, j] - o[0]) * inv[0]
-    tx2 = (bbox_ref[3, j] - o[0]) * inv[0]
-    ty1 = (bbox_ref[1, j] - o[1]) * inv[1]
-    ty2 = (bbox_ref[4, j] - o[1]) * inv[1]
-    tz1 = (bbox_ref[2, j] - o[2]) * inv[2]
-    tz2 = (bbox_ref[5, j] - o[2]) * inv[2]
-    tmin = jnp.maximum(
-        jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2)),
-        jnp.minimum(tz1, tz2),
-    )
-    tmax = jnp.minimum(
-        jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2)),
-        jnp.maximum(tz1, tz2),
-    )
-    box_miss = (tmin > tmax) | (tmax <= 0.0) | (tmin >= best)
-    passed = active & ~box_miss
-    tmn0 = jnp.where(tmin >= 0.0, tmin, 0.0)  # NaN → 0 (front of order)
-    return jnp.min(jnp.where(passed, tmn0, INF))
+    return jnp.min(jnp.where(passed, tmn0, INF), axis=1)  # (N,)
 
 
 DIST_BINS = 16  # front-to-back group ordering granularity
@@ -697,9 +671,6 @@ TREE_MIN_TILES = 16
 # DFS stack bound: only internal nodes are pushed, ≤ 2 per expansion, so
 # depth ≤ log2(P2) + 1; 48 covers any P2 the SMEM tree could hold.
 TREE_MAX_STACK = 48
-# Expansion style: batched (2, LB) child test + one reduce, vs three 1-D
-# tests (pop re-test + per-child) with a reduce each.  A/B'd on-chip.
-TREE_CHILD_BATCH = True
 
 
 def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
@@ -774,19 +745,36 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
 
 def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
                    num_tiles):
-    """Depth-first traversal of the Morton heap with near-child-first
-    ordering.  The stack holds INTERNAL node ids only; a leaf child is
-    visited inline at its parent's expansion (so pops never waste child
-    tests on leaves).  Every pop re-tests against the RUNNING best
-    (aux_ref[2]), so subtrees behind already-settled hits are occlusion-
-    culled even if they were pushed before the best tightened (each
-    expansion tests its children against the CURRENT best).  A leaf that
-    passed its child test is visited WITHOUT re-culling (same box, same
-    best — visit_tile's own cull would be a duplicate; padded leaves hold
-    the always-miss box so they can never pass).  Cost per internal
-    expansion: ONE (2, LB) slab computation and ONE lane-reduce
-    (_cull_entry2 folds both children's hit + ordering-distance)."""
+    """Depth-first traversal of the binary Morton heap, expanding THREE
+    levels per step: each pop tests its node's 8 GREAT-GRANDCHILDREN in
+    one (8, LB) slab batch with a single lane-reduce, visiting them
+    (when they are leaves) or pushing them (when internal) nearest-block-
+    entry-first.  The octal jump exists because the while-loop step
+    itself costs ~0.5 µs (scalar sequencing + stack traffic) — profiled
+    at ~60% of large-scene trace time with one-level binary expansions.
+
+    Stack discipline: only nodes whose leaf-distance is a multiple of 3
+    are ever pushed (the roots fix up ``depth mod 3``), so a popped node
+    has leaves as great-grandchildren iff node >= p2/8.  Tests run
+    against the RUNNING best (aux_ref[2]) at expansion time, which
+    occlusion-culls whole subtrees pushed before the best tightened;
+    visited leaves skip the duplicate re-cull (same box, same best).
+    Padded/empty subtrees hold the always-miss box and can never pass.
+    Sibling ordering: the nearest child is visited first / popped first;
+    the other seven keep index order (a full 8-sort measured no better).
+    """
     p2 = tree_ref.shape[1] // 2
+    depth = p2.bit_length() - 1  # leaf distance of the root
+
+    if depth < 3:
+        # Tiny trees (callers gate on TREE_MIN_TILES = 16 → depth >= 4,
+        # but stay total): flat sweep.
+        def tile_body(jt, _):
+            visit_tile(jt, jt < num_tiles)
+            return 0
+
+        jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+        return
 
     def cond(sp):
         return sp > 0
@@ -795,62 +783,60 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
         sp = sp - 1
         node = stack_ref[sp]
         best = aux_ref[2, :]
-        l = 2 * node
-        r = 2 * node + 1
-        if TREE_CHILD_BATCH:
-            # No pop re-test: the node's box is its children's union and
-            # both children are tested here against the CURRENT best, so a
-            # parent test could only reject what the child tests reject.
-            ent = _cull_entry2(tree_ref, l, r, o, inv, best, active)
-            lent = ent[0]
-            rent = ent[1]
-        else:
-            hit = _cull_entry(tree_ref, node, o, inv, best, active) < INF
-            lent = jnp.where(
-                hit, _cull_entry(tree_ref, l, o, inv, best, active), INF
-            )
-            rent = jnp.where(
-                hit, _cull_entry(tree_ref, r, o, inv, best, active), INF
-            )
-        # Near child (smaller block entry) is visited/popped first.
-        l_near = ~(rent < lent)
-        near = jnp.where(l_near, l, r)
-        far = jnp.where(l_near, r, l)
-        near_hit = jnp.where(l_near, lent, rent) < INF
-        far_hit = jnp.where(l_near, rent, lent) < INF
-        # Children of node are leaves iff node >= p2/2 (perfect heap).
-        child_leaf = node >= (p2 // 2)
+        # Diagnostic: expansions (while-loop iterations) per block — aux
+        # row 6 (row 5 counts tile sweeps); scripts/cull_stats.py reads it.
+        aux_ref[6, :] = aux_ref[6, :] + 1.0
+        base = 8 * node
+        ent = _cull_entry_batch(
+            tree_ref, [base + j for j in range(8)], o, inv, best, active
+        )  # (8,)
+        emin = jnp.min(ent)
+        jmin = jnp.argmin(ent).astype(jnp.int32)
+        any_hit = emin < INF
+        # Passing children as a bitmask scalar (dynamic vector indexing
+        # inside the loops below would not lower; bit math does).
+        vm = jnp.sum(
+            jnp.where(ent < INF, jnp.left_shift(1, jnp.arange(8)), 0)
+        ).astype(jnp.int32)
+        child_leaf = node >= (p2 // 8)
 
-        @pl.when(near_hit & child_leaf)
+        # Nearest child first: visit (leaf) or defer to the post-loop
+        # push (internal, pushed LAST so it pops first).
+        @pl.when(any_hit & child_leaf)
         def _():
-            visit_tile(jnp.minimum(near - p2, num_tiles - 1), True)
+            visit_tile(jnp.minimum(base + jmin - p2, num_tiles - 1), True)
 
-        @pl.when(far_hit & child_leaf)
+        def jbody(j, sp):
+            ok = (jax.lax.shift_right_logical(vm, j) & 1) > 0
+            rest = ok & (j != jmin)
+
+            @pl.when(rest & child_leaf)
+            def _():
+                visit_tile(jnp.minimum(base + j - p2, num_tiles - 1), True)
+
+            do_push = rest & ~child_leaf
+
+            @pl.when(do_push)
+            def _():
+                stack_ref[sp] = base + j
+
+            return sp + do_push.astype(jnp.int32)
+
+        sp = jax.lax.fori_loop(0, 8, jbody, sp)
+        push_min = any_hit & ~child_leaf
+
+        @pl.when(push_min)
         def _():
-            visit_tile(jnp.minimum(far - p2, num_tiles - 1), True)
+            stack_ref[sp] = base + jmin
 
-        push_far = far_hit & ~child_leaf
-        push_near = near_hit & ~child_leaf
+        return sp + push_min.astype(jnp.int32)
 
-        @pl.when(push_far)
-        def _():
-            stack_ref[sp] = far
-
-        sp1 = sp + push_far.astype(jnp.int32)
-
-        @pl.when(push_near)
-        def _():
-            stack_ref[sp1] = near
-
-        return sp1 + push_near.astype(jnp.int32)
-
-    if p2 == 1:
-        # Single-tile tree: just visit it (callers gate on TREE_MIN_TILES,
-        # but keep this total).
-        visit_tile(0, True)
-        return
-    stack_ref[0] = 1
-    jax.lax.while_loop(cond, body, 1)
+    # Roots: all nodes at depth (depth mod 3), so every stacked node's
+    # leaf distance is a multiple of 3.  At most 4 of them.
+    n_roots = 1 << (depth % 3)
+    for k in range(n_roots):
+        stack_ref[k] = n_roots + k
+    jax.lax.while_loop(cond, body, n_roots)
 
 
 def _make_trace_kernel_t(tile, group_tiles):
