@@ -9,6 +9,14 @@ AlphaBlendModeTest categories OPAQUE/MASK/BLEND with clamp sampling)
 
 Renders are deterministic per seed on the CPU backend; the tolerance only
 absorbs float-reassociation across jax/XLA versions.
+
+On-chip note (validated on the real v5e): the fused TPU path reproduces
+golden_duckish within 0.2% of pixels, but golden_alpha_modes diverges
+15.7% at 4 spp — Mosaic's FMA contraction differs from XLA:CPU by ULPs,
+and this asset's alpha RAMP turns ULP-level u/v differences into flipped
+stochastic-alpha decisions (whole-sample divergence).  It is flip NOISE,
+not bias: the same two paths at 64 spp agree to mean |diff| 0.33/255.
+The suite compares on the CPU backend where both paths are bit-stable.
 """
 
 from pathlib import Path
