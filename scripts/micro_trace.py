@@ -22,7 +22,7 @@ from zig_raytracing_contest_tpu.ops import mxu_intersect as mi
 
 R = 1 << 18
 T = 1024  # 4 tiles
-KT = mi.TRI_TILE_T
+KT = mi.TRI_TILE
 INF = jnp.inf
 
 

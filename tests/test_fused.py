@@ -224,7 +224,10 @@ def test_streaming_trace_matches_resident(scene_and_rays, monkeypatch):
     trace_emit_aux._clear_cache()
     aux_b, idx_b, _ = trace_emit_aux(scene.mxu, state, interpret=True)
     trace_emit_aux._clear_cache()
-    np.testing.assert_array_equal(np.asarray(aux_a), np.asarray(aux_b))
+    # Rows 0-4 (u, v, t, streams, alive) are the contract; rows 5/6 are
+    # traversal diagnostics (tiles swept / tree expansions) and legitimately
+    # differ between the resident tile walk and the streaming group walk.
+    np.testing.assert_array_equal(np.asarray(aux_a[:5]), np.asarray(aux_b[:5]))
     np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
 
 

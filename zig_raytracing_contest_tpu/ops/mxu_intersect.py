@@ -668,9 +668,12 @@ F2B_MIN_GROUPS = 8
 # scale with the tiles a block's beam actually reaches, and near-child-
 # first ordering settles the running best early (occlusion culling).
 TREE_MIN_TILES = 16
-# DFS stack bound: only internal nodes are pushed, ≤ 2 per expansion, so
-# depth ≤ log2(P2) + 1; 48 covers any P2 the SMEM tree could hold.
-TREE_MAX_STACK = 48
+# DFS stack bound for the OCTAL traversal: each expansion pushes at most
+# 8 children and descends one octal level, so worst-case depth is
+# 8 · ceil(log2(P2)/3) + roots — 54 at P2 = 2^17 (the largest heap the
+# SMEM budget allows).  64 gives slack; _tree_traverse documents the
+# invariant.
+TREE_MAX_STACK = 64
 
 
 def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
@@ -944,11 +947,21 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
             # per group per block — ~1000 for a 2M-triangle scene), and a
             # culled subtree moves zero bytes.  Leaves re-cull inside
             # visit_group before starting any DMA.
-            # The traversal's child test is the group cull (leaf box =
-            # group box): a passing leaf starts its DMA loop directly.
+            def visit_group(g, real):
+                # Re-cull against the RUNNING best before committing any
+                # DMA: the best may have tightened between this group's
+                # expansion test and its pop-order turn, and a skipped
+                # group moves zero bytes (the whole point of streaming
+                # culls).  Resident leaves skip this — their sweep is
+                # cheaper than the wasted bytes are here.
+                @pl.when(_cull_any(gbox_ref, g, o, inv, aux_ref[2, :],
+                                   active))
+                def _():
+                    process_group(g)
+
             _tree_traverse(
-                gtree_ref, stack_ref, o, inv, active, aux_ref,
-                lambda g, real: process_group(g), num_groups,
+                gtree_ref, stack_ref, o, inv, active, aux_ref, visit_group,
+                num_groups,
             )
             return
 

@@ -22,7 +22,10 @@ VPU's native shape.  Semantics are identical to wavefront.shade_and_scatter
 (the CPU/XLA path); tests/test_fused.py holds them equal in interpret mode.
 
 Row layouts:
-  aux   (8, R) f32: [u, v, t, streams(bitcast u32), alive, 0, 0, 0]
+  aux   (8, R) f32: [u, v, t, streams(bitcast u32), alive,
+                     tiles-swept diag, tree-expansions diag, 0] — rows 5/6
+                     are traversal diagnostics and depend on which kernel
+                     variant ran; only rows 0-4 are contractual
   svec  (8, R) f32: [nx, ny, nz, fu, fv, tc_u, tc_v, 0]
   state (16, R) f32: [ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
                       alive, streams(bitcast), segments, pad]
@@ -484,7 +487,6 @@ def path_trace_fused(
     over the same bounce range."""
     R = state16.shape[1]
     assert R % lane_block == 0, f"wave {R} not a multiple of {lane_block}"
-    real_tiles = tris.tile_bbox.shape[1]
     num_groups = tris.group_bbox.shape[1]
     nb = R // lane_block
 
@@ -521,7 +523,6 @@ def path_trace_fused(
         ],
     )(state16, tris.tri_data, tris.tile_bbox, tris.group_bbox,
       tris.tree_bbox, rec_table, bank)
-    del real_tiles
     return out
 
 

@@ -41,17 +41,25 @@ def _camera_device(camera: Camera):
 
     Measured on the axon-tunneled v5e: each eager host→device transfer is
     a blocking RPC (~10-30 ms), so four per render_scene call cost more
-    than the entire shading pipeline.  One upload per camera object."""
-    dev = getattr(camera, "_device_vecs", None)
-    if dev is None:
+    than the entire shading pipeline.  The cache keys on the VALUES (the
+    Camera dataclass is mutable — re-aiming it must re-upload)."""
+    key = (
+        tuple(map(float, camera.origin)),
+        tuple(map(float, camera.lower_left_corner)),
+        tuple(map(float, camera.right)),
+        tuple(map(float, camera.up)),
+    )
+    cached = getattr(camera, "_device_vecs", None)
+    if cached is None or cached[0] != key:
         dev = (
             jnp.asarray(camera.origin),
             jnp.asarray(camera.lower_left_corner),
             jnp.asarray(camera.right),
             jnp.asarray(camera.up),
         )
-        camera._device_vecs = dev
-    return dev
+        camera._device_vecs = (key, dev)
+        return dev
+    return cached[1]
 
 
 @partial(jax.jit, static_argnames=("rows",))

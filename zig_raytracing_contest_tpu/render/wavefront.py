@@ -348,6 +348,9 @@ def render_wave(
         from ..ops.mxu_intersect import REC_EMIT_MAX_TRIS
 
         if (
+            # (implied by the REC_EMIT bound — REC_EMIT_MAX_TRIS <
+            # SORT_MIN_TRIS — but kept explicit: the path kernel has no
+            # between-bounce resort, so it must never take sorted scenes)
             not sort_rays
             and scene.color_u16f_t is not None
             and scene.shade_table_t is not None

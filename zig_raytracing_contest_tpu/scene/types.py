@@ -26,6 +26,7 @@ import numpy as np
 from ..grid.builder import GridBuild
 from ..ops.dda import GridParams
 from ..ops.mxu_intersect import (
+    TRI_TILE,
     TRI_TILE_SMALL,
     VMEM_RESIDENT_MAX_TRIS,
     MXUTriangles,
@@ -223,7 +224,7 @@ def build_device_scene(
             tile=(
                 TRI_TILE_SMALL
                 if geometry.num_triangles <= VMEM_RESIDENT_MAX_TRIS
-                else 256
+                else TRI_TILE
             ),
         )
         if use_mxu
