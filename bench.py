@@ -147,6 +147,20 @@ def build_large_scene(path: Path, side: int = 224, seed: int = 7):
     return b.write_gltf(path)
 
 
+REPS = 5  # in-process repetitions; chip-session noise is ±15% BETWEEN
+# processes, so the JSON headline is the in-process MEDIAN (VERDICT r2 §5:
+# "the driver's number is the number" — don't headline the lucky phase).
+
+
+def _stats(rates):
+    """(median, best, spread%) of a rate list."""
+    s = sorted(rates)
+    med = s[len(s) // 2] if len(s) % 2 else 0.5 * (s[len(s) // 2 - 1] + s[len(s) // 2])
+    best = s[-1]
+    spread = 100.0 * (s[-1] - s[0]) / med if med else 0.0
+    return round(med, 3), round(best, 3), round(spread, 1)
+
+
 def run_large() -> int:
     """--large: 100k-triangle throughput (HBM-streaming trace kernel)."""
     from zig_raytracing_contest_tpu.config import Config
@@ -168,21 +182,23 @@ def run_large() -> int:
             width=width, height=height,
         )
     render_scene(scene, camera, config)  # warmup/compile
-    best, segments = 0.0, 0
-    for _ in range(3):  # best-of-3: chip-state noise is ±15% run to run
+    rates, segments = [], 0
+    for _ in range(REPS):
         t0 = time.perf_counter()
         _, stats = render_scene(scene, camera, config)
         wall = time.perf_counter() - t0
-        rate = stats.segments / wall / 1e6
-        print(f"large rep: {rate:.3f} Mrays/s", file=sys.stderr)
-        if rate > best:
-            best, segments = rate, stats.segments
+        rates.append(stats.segments / wall / 1e6)
+        segments = stats.segments
+        print(f"large rep: {rates[-1]:.3f} Mrays/s", file=sys.stderr)
+    med, best, spread = _stats(rates)
     print(
         json.dumps(
             {
                 "metric": "large_Mrays/s",
-                "value": round(best, 3),
+                "value": med,  # median-of-N: the honest headline
                 "unit": "Mrays/s",
+                "best": best,
+                "spread_pct": spread,
                 "triangles": 2 * 224 * 224 + 10,
                 "segments": segments,
             }
@@ -247,23 +263,25 @@ def main() -> int:
     render_scene(scene, camera, warm_cfg)
     jax.block_until_ready(jax.device_put(0))
 
-    mrays = 0.0
-    for _ in range(3):  # best-of-3: chip-state noise is ±15% run to run
+    rates = []
+    for _ in range(REPS):
         t0 = time.perf_counter()
         img, stats = render_scene(scene, camera, config)
         wall = time.perf_counter() - t0
-        rate = stats.segments / wall / 1e6
-        print(f"official rep: {rate:.3f} Mrays/s", file=sys.stderr)
-        mrays = max(mrays, rate)
+        rates.append(stats.segments / wall / 1e6)
+        print(f"official rep: {rates[-1]:.3f} Mrays/s", file=sys.stderr)
+    med, best, spread = _stats(rates)
 
     baseline = 100.0  # BASELINE.json north star: >=100 Mrays/s per v5e chip
     print(
         json.dumps(
             {
                 "metric": "Mrays/s",
-                "value": round(mrays, 3),
+                "value": med,  # median-of-N: the honest headline
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / baseline, 4),
+                "vs_baseline": round(med / baseline, 4),
+                "best": best,
+                "spread_pct": spread,
             }
         )
     )

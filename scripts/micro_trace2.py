@@ -82,7 +82,7 @@ def main():
 
     for bname, bank in (("bench", bank_s), ("rand", bank_r)):
         for sname, st in (("cam", st_cam), ("rand", st_rand)):
-            aux, idx = mi.trace_emit_aux(bank, st)
+            aux, idx, _ = mi.trace_emit_aux(bank, st)
             hits = int(jnp.sum(jnp.isfinite(aux[2])))
             t = best_time(lambda: mi.trace_emit_aux(bank, st))
             print(f"bank={bname:5s} rays={sname:4s}: {t*1e3:7.2f} ms"

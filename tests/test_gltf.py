@@ -241,3 +241,49 @@ class TestNodeHierarchy:
         cam = load_camera(g, "c", width=8, height=8)
         # camera position (0,0,5) scaled by 2 plus parent translation
         np.testing.assert_allclose(cam.origin, [0, 10, 10], atol=1e-4)
+
+
+class TestMalformedPrimitives:
+    def test_missing_position_is_typed_error(self, tmp_path):
+        """Missing POSITION: the reference's Accessor maps a missing
+        accessor to a zero-length sentinel read (src/stage1.zig:122-147)
+        and then reads undefined memory for an indexed primitive; we pin
+        the malformed case to a typed GltfError instead (VERDICT r2 §gap3).
+        """
+        g = make_single_quad(tmp_path)
+        del g.doc["meshes"][0]["primitives"][0]["attributes"]["POSITION"]
+        with pytest.raises(GltfError, match="POSITION"):
+            load_geometry(g)
+
+
+class TestDebugChecks:
+    def test_debug_checks_rejects_nonfinite_geometry(self, tmp_path):
+        from zig_raytracing_contest_tpu.config import Config
+        from zig_raytracing_contest_tpu.render.pipeline import prepare_scene
+
+        b = procedural.SceneBuilder()
+        m = b.add_material(base_color_factor=(1, 1, 1, 1))
+        p, i, n, t = procedural.quad((0, 0, 0), (1, 0, 0), (0, 1, 0))
+        p = np.asarray(p, np.float32).copy()
+        p[0, 0] = np.nan
+        b.add_mesh_node(p, i, m, normals=n, texcoords=t)
+        b.add_camera_node((0, 0, 3), (0, 0, 0), yfov=0.8, name="cam")
+        path = b.write_gltf(tmp_path / "nan.gltf")
+        cfg = Config(debug_checks=True)
+        with pytest.raises(FloatingPointError, match="positions"):
+            prepare_scene(str(path), cfg, camera_name="cam", width=8, height=8)
+
+    def test_debug_checks_clean_render_passes(self, tmp_path):
+        from zig_raytracing_contest_tpu.config import Config
+        from zig_raytracing_contest_tpu.render.pipeline import (
+            prepare_scene, render_scene,
+        )
+
+        path = procedural.cornell_like_box(tmp_path / "box.gltf")
+        cfg = Config(num_samples=1, max_bounce=2, debug_checks=True)
+        scene, camera, _ = prepare_scene(
+            str(path), cfg, camera_name=None, width=16, height=16
+        )
+        img, stats = render_scene(scene, camera, cfg)
+        assert img.shape == (16, 16, 3)
+        assert stats.segments > 0

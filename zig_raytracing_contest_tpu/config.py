@@ -19,13 +19,20 @@ from dataclasses import dataclass, field
 REFERENCE_KEYS = {"grid_resolution", "num_threads", "num_samples", "max_bounce"}
 EXTRA_INT_KEYS = {"wave_size", "seed", "progressive_every"}
 EXTRA_STR_KEYS = {"backend"}
-EXTRA_BOOL_KEYS = {"nee", "russian_roulette", "pbr"}  # render extensions
+EXTRA_BOOL_KEYS = {"nee", "russian_roulette", "pbr", "debug_checks"}
 EXTRA_KEYS = EXTRA_INT_KEYS | EXTRA_STR_KEYS | EXTRA_BOOL_KEYS
 
 
 @dataclass
 class Config:
     grid_resolution: tuple[int, int, int] = (128, 128, 128)
+    # DOCUMENTED DIVERGENCE: in the reference ``num_threads`` sizes the
+    # RENDER thread pool (src/main.zig:90, threads render pixel blocks,
+    # src/stage3.zig:247-256).  Here the render runs on the TPU — there is
+    # no render thread pool to size — so the knob keeps its only remaining
+    # host-side meaning: the load-time image-decode pool
+    # (src/stage1.zig:98-107; scene/gltf.py).  ``null`` still means
+    # autodetect, like the reference.
     num_threads: int | None = None
     num_samples: int = 3
     max_bounce: int = 4
@@ -40,6 +47,11 @@ class Config:
     nee: bool = False
     russian_roulette: bool = False
     pbr: bool = False
+    # Debug mode (the TPU analogue of the reference's Debug/ReleaseSafe
+    # builds, build.zig:16, per SURVEY §5): enables jax_debug_nans for the
+    # render and a non-finite radiance check on the framebuffer before PNG
+    # encode (a NaN would otherwise clamp silently at gamma encode).
+    debug_checks: bool = False
 
     @property
     def host_threads(self) -> int:

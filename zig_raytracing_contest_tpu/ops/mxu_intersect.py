@@ -404,9 +404,11 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
     and HBM-streaming trace kernels.  ``sl`` restricts the update to a
     static lane sub-range (sub-block predication).
 
-    The six transform applications run as K=3 ``dot_general``s on the MXU
-    (which is otherwise idle during tracing), halving the VPU load of the
-    tile sweep; the t/u/v/cull tail stays on the VPU.
+    The six transform applications run on the VPU by default
+    (``_TRANSFORM_MODE = "vpu"``: exact-f32 broadcasted FMA, the same op
+    sequence as the XLA oracle).  The MXU alternative — K=3
+    ``dot_general``s at ``_TRANSFORM_PRECISION`` — is kept as a measurable
+    A/B (flip ``_TRANSFORM_MODE``); the t/u/v/cull tail is VPU either way.
 
     When ``table_rows``/``rec_ref`` are given (the record-emitting resident
     kernel), the winner's packed shade record is extracted with ONE one-hot

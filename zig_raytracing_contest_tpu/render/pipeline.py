@@ -106,6 +106,15 @@ def prepare_scene(in_path: str, config: Config, camera_name=None, width=None, he
         materials = load_materials(gltf)
         log.info("Materials count: %d", materials.num_materials)
         geometry = load_geometry(gltf)
+        if config.debug_checks and geometry.num_triangles:
+            for name in ("positions", "normals", "texcoords"):
+                arr = getattr(geometry, name)
+                bad = int(np.sum(~np.isfinite(arr)))
+                if bad:
+                    raise FloatingPointError(
+                        f"debug_checks: {bad} non-finite {name} values in "
+                        f"loaded geometry"
+                    )
 
     with timers.phase("compile", "Compiled"):
         try:
@@ -229,6 +238,17 @@ def render_scene(
                 # Scanline-progressive dump: pixels not yet reached stay dark.
                 partial_px = np.asarray(_finalize_image(fb, num_pixels, spp))
                 write_png(progressive_path, partial_px.reshape(h, w, 3))
+        if config.debug_checks:
+            # Debug mode (SURVEY §5; reference Debug/ReleaseSafe analogue,
+            # build.zig:16): a NaN/Inf in accumulated radiance would clamp
+            # silently at gamma encode — surface it as a typed failure with
+            # the offending sample count instead.
+            bad = int(jnp.sum(~jnp.isfinite(fb[:num_pixels])))
+            if bad:
+                raise FloatingPointError(
+                    f"debug_checks: {bad} non-finite framebuffer channel "
+                    f"values before PNG encode"
+                )
         img = np.asarray(_finalize_image(fb, num_pixels, spp)).reshape(h, w, 3)
         segments = int(np.sum([int(sp) for sp in seg_parts], dtype=np.int64))
 

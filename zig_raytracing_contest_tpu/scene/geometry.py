@@ -55,7 +55,13 @@ def load_geometry(gltf: Gltf) -> GeometryArrays:
                 # The reference unwraps primitive.material (src/stage1.zig:239)
                 raise GltfError("primitive has no material")
 
-            attrs = primitive["attributes"]
+            attrs = primitive.get("attributes", {})
+            if "POSITION" not in attrs:
+                # The reference maps a missing accessor to a zero-length
+                # read over a sentinel base (src/stage1.zig:122-147) and
+                # then reads UNDEFINED memory when the primitive is indexed;
+                # we pin the malformed case to a typed error instead.
+                raise GltfError("primitive has no POSITION attribute")
             indices = gltf.accessor_array(primitive["indices"]).reshape(-1)
             ntri = indices.shape[0] // 3
             if ntri == 0:
