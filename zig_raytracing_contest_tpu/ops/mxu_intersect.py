@@ -133,19 +133,47 @@ class MXUTriangles:
         return cls(*children, *aux)
 
 
-def _morton3(q: np.ndarray) -> np.ndarray:
-    """Interleave 10-bit xyz quantized coords into 30-bit Morton codes."""
-    def spread(x):
-        x = x.astype(np.uint64)
-        x = (x | (x << 16)) & np.uint64(0x030000FF)
-        x = (x | (x << 8)) & np.uint64(0x0300F00F)
-        x = (x | (x << 4)) & np.uint64(0x030C30C3)
-        x = (x | (x << 2)) & np.uint64(0x09249249)
-        return x
+def _bvh_order(centroid: np.ndarray, tile: int) -> np.ndarray:
+    """BVH-quality triangle order: recursive capacity-aligned spatial splits.
 
-    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
-        spread(q[:, 2]) << np.uint64(2)
-    )
+    Raw Morton order (round 2) gave each ``tile``-sized chunk a sloppy
+    box — Morton ranges straddle cell boundaries, and the implicit heap's
+    upper nodes union ranges no split plane ever separated.  This order
+    builds a real top-down BVH whose node boundaries COINCIDE with the
+    implicit heap's aligned leaf ranges: each subtree of leaf capacity P
+    splits its triangles along the widest centroid axis, sending
+    ``min(n, P/2·tile)`` to the left child — so every heap node covers a
+    set that an actual axis partition produced (disjoint along the split
+    axis), and real tiles stay a contiguous prefix (left-complete tree,
+    full tiles except the last).  The kernels are unchanged: same
+    tile/heap shapes, tighter boxes at every level.
+    """
+    T = centroid.shape[0]
+    num_tiles = -(-max(T, 1) // tile)
+    p2 = 1
+    while p2 < num_tiles:
+        p2 *= 2
+    out = np.empty(T, np.int64)
+    pos = 0
+    stack: list[tuple[np.ndarray, int]] = [(np.arange(T, dtype=np.int64), p2)]
+    while stack:
+        idx, cap = stack.pop()
+        n = idx.shape[0]
+        if n == 0:
+            continue
+        if cap == 1 or n <= tile:
+            # n <= tile can only be the rightmost real chunk: every left
+            # sibling is filled to exactly min(n, cap/2 · tile).
+            out[pos : pos + n] = idx
+            pos += n
+            continue
+        c = centroid[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        n_left = min(n, (cap // 2) * tile)
+        part = np.argpartition(c[:, axis], n_left - 1)
+        stack.append((idx[part[n_left:]], cap // 2))  # right (popped later)
+        stack.append((idx[part[:n_left]], cap // 2))  # left (popped first)
+    return out
 
 
 def _build_heap(leaf_bbox: np.ndarray) -> np.ndarray:
@@ -188,12 +216,11 @@ def bake_triangles(
     e2 = np.asarray(e2, np.float64)
     T = v0.shape[0]
 
-    # Morton order by centroid for spatially compact tiles.
+    # BVH order by centroid: recursive capacity-aligned spatial splits so
+    # tiles AND every implicit-heap node get tight, split-plane-aligned
+    # boxes (see _bvh_order; replaced the r2 raw Morton sort).
     centroid = v0 + (e1 + e2) / 3.0
-    lo = centroid.min(axis=0)
-    span = np.maximum(centroid.max(axis=0) - lo, 1e-30)
-    q = np.clip(((centroid - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
-    order = np.argsort(_morton3(q), kind="stable").astype(np.int64)
+    order = _bvh_order(centroid, tile)
     v0, e1, e2 = v0[order], e1[order], e2[order]
 
     n = np.cross(e1, e2)

@@ -27,8 +27,17 @@ from ..scene.camera import Camera
 from ..scene.types import DeviceScene
 from ..utils.image_io import write_png
 from ..utils.timing import PhaseTimers
-from ..render.pipeline import RenderStats, prepare_scene
-from ..render.wavefront import render_wave
+from ..render.pipeline import (
+    RenderStats,
+    _slot_of_pixel,
+    prepare_scene,
+    slot_geometry,
+)
+from ..render.wavefront import (
+    build_gen_par,
+    render_wave_rows,
+    whole_path_regime,
+)
 
 log = logging.getLogger("zig_raytracing_contest_tpu")
 
@@ -46,19 +55,21 @@ def make_mesh(num_devices: int | None = None) -> Mesh:
     static_argnames=(
         "mesh",
         "width",
+        "height",
         "spp",
         "max_bounce",
         "wave_size",
-        "num_pixels",
-        "pix_per_dev",
+        "num_slots",
+        "slots_per_dev",
         "waves_per_dev",
+        "tiles_x",
         "use_fused",
         "ext",
     ),
 )
 def _render_sharded(
     scene: DeviceScene,
-    fb,
+    fb,  # (3, n * cols_per_dev) field-major, sharded along axis 1
     cam_origin,
     cam_lower_left,
     cam_right,
@@ -67,12 +78,14 @@ def _render_sharded(
     *,
     mesh: Mesh,
     width: int,
+    height: int,
     spp: int,
     max_bounce: int,
     wave_size: int,
-    num_pixels: int,
-    pix_per_dev: int,
+    num_slots: int,
+    slots_per_dev: int,
     waves_per_dev: int,
+    tiles_x: int,
     use_fused: bool | None = None,
     ext=None,
 ):
@@ -80,46 +93,42 @@ def _render_sharded(
 
     def tile_fn(scene, fb_local, cam_origin, cam_lower_left, cam_right, cam_up, base_key):
         dev = jax.lax.axis_index("tiles")
-        pix_base = dev * pix_per_dev
-        g_base = pix_base * spp
+        slot0 = dev * slots_per_dev
+        # Rows past this device's tile or the real slot space are zeroed by
+        # render_wave_rows (slot_cap), so a final wave may spill into the
+        # padded framebuffer columns harmlessly.
+        slot_cap = jnp.minimum(slot0 + slots_per_dev, num_slots).astype(
+            jnp.int32
+        )
+        par = build_gen_par(
+            scene, cam_origin, cam_lower_left, cam_right, cam_up
+        )
 
         def wave_body(w, carry):
             fb, segs = carry
-            # pix_wave/g_start in exact int32 — g_start of a far device tile
-            # of a large image exceeds f32's 2^24 integer range, so the
-            # pixel base is never derived from it in float (ADVICE.md r1).
-            pix_wave = (pix_base + w * wave_pixels).astype(jnp.int32)
-            g_start = (g_base + w * wave_size).astype(jnp.int32)
-            pixel, radiance, segments = render_wave(
+            # slot bases in exact int32 — a far device tile of a large
+            # image exceeds f32's 2^24 integer range (ADVICE.md r1).
+            slot_base = (slot0 + w * wave_pixels).astype(jnp.int32)
+            rows3, wave_segs = render_wave_rows(
                 scene,
-                cam_origin,
-                cam_lower_left,
-                cam_right,
-                cam_up,
+                par,
                 width,
+                height,
                 spp,
                 max_bounce,
-                g_start,
+                slot_base,
+                slot_cap,
                 wave_size,
                 base_key,
-                pix_base=pix_wave,
-                use_fused=use_fused,
-                ext=ext,
+                tiles_x,
+                use_fused,
+                ext,
             )
-            # Scatter-free accumulation (see wavefront.accumulate_wave):
-            # zero rays past this device's tile or the real image, sum the
-            # spp samples of each pixel, one contiguous slice add.
-            lp = pixel - pix_base
-            in_range = (lp < pix_per_dev) & (pixel < num_pixels)
-            radiance = jnp.where(in_range[:, None], radiance, 0.0)
-            sums = radiance.reshape(wave_pixels, spp, 3).sum(axis=1)
+            sums = rows3.reshape(3, wave_pixels, spp).sum(axis=2)
             lp0 = w * wave_pixels
-            cur = jax.lax.dynamic_slice(fb, (lp0, 0), (wave_pixels, 3))
-            fb = jax.lax.dynamic_update_slice(fb, cur + sums, (lp0, 0))
-            segs = segs + jnp.sum(
-                jnp.where(in_range, segments, 0), dtype=jnp.int32
-            )
-            return fb, segs
+            cur = jax.lax.dynamic_slice(fb, (0, lp0), (3, wave_pixels))
+            fb = jax.lax.dynamic_update_slice(fb, cur + sums, (0, lp0))
+            return fb, segs + wave_segs
 
         fb_local, segs = jax.lax.fori_loop(
             0, waves_per_dev, wave_body, (fb_local, jnp.int32(0))
@@ -130,8 +139,8 @@ def _render_sharded(
     return jax.shard_map(
         tile_fn,
         mesh=mesh,
-        in_specs=(scene_spec, P("tiles"), P(), P(), P(), P(), P()),
-        out_specs=(P("tiles"), P("tiles")),
+        in_specs=(scene_spec, P(None, "tiles"), P(), P(), P(), P(), P()),
+        out_specs=(P(None, "tiles"), P("tiles")),
         # check_vma must stay off, precisely because every loop carry in the
         # renderer (nearest_hit_xla's scan best-t/idx, trace_wave's
         # while_loop state, wave_body's segment counter) initializes from
@@ -168,12 +177,20 @@ def render_scene_sharded(
             f"{num_pixels} pixels × {spp} spp = {num_pixels * spp} rays "
             f"exceeds the int32 ray-id space (2^31); reduce resolution or spp."
         )
-    pix_per_dev = -(-num_pixels // n)
-    rays_per_dev = pix_per_dev * spp
-    # Wave quantum: spp (whole pixels → scatter-free accumulation) × 256
-    # (Pallas ray blocks).
-    # Multiple of every kernel's block constraint (ray-major 256, trace
-    # lanes 512) AND of spp (whole pixels per wave).
+    whole = whole_path_regime(scene, use_fused, ext)
+    num_slots, tiles_x = slot_geometry(w, h, whole)
+    if num_slots * spp >= 1 << 31:
+        raise ValueError("slot count × spp exceeds int32 ray-id space")
+    # Tiled slot order needs tile-aligned (1024-slot) device boundaries so
+    # in-kernel slot decode stays tile-exact; raster order keeps the
+    # reference-like arbitrary contiguous split.
+    if tiles_x:
+        slots_per_dev = -(-(-(-num_slots // n)) // 1024) * 1024
+    else:
+        slots_per_dev = -(-num_slots // n)
+    rays_per_dev = slots_per_dev * spp
+    # Wave quantum: spp (whole pixel slots → scatter-free accumulation) ×
+    # 1024 (Pallas lane blocks AND 32×32 pixel tiles).
     quantum = spp * 1024
     wave_size = max(
         quantum,
@@ -183,18 +200,18 @@ def render_scene_sharded(
     # render/pipeline.py).
     wave_size = min(wave_size, (1 << 23) // quantum * quantum)
     waves_per_dev = -(-rays_per_dev // wave_size)
-    # Per-device framebuffer padded to whole waves.
-    fb_rows_per_dev = waves_per_dev * (wave_size // spp)
+    # Per-device framebuffer columns padded to whole waves.
+    fb_cols_per_dev = waves_per_dev * (wave_size // spp)
     log.info(
         "Num samples: %d, max bounce %d", config.num_samples, config.max_bounce
     )
     log.info(
-        "Mesh: %d device(s), %d pixels/device, %d wave(s) of %d rays",
-        n, pix_per_dev, waves_per_dev, wave_size,
+        "Mesh: %d device(s), %d slots/device, %d wave(s) of %d rays",
+        n, slots_per_dev, waves_per_dev, wave_size,
     )
 
-    fb_sharding = NamedSharding(mesh, P("tiles"))
-    fb = jnp.zeros((fb_rows_per_dev * n, 3), jnp.float32, device=fb_sharding)
+    fb_sharding = NamedSharding(mesh, P(None, "tiles"))
+    fb = jnp.zeros((3, fb_cols_per_dev * n), jnp.float32, device=fb_sharding)
     replicated = NamedSharding(mesh, P())
     scene = jax.device_put(scene, replicated)
 
@@ -209,19 +226,29 @@ def render_scene_sharded(
             jax.device_put(jnp.uint32(config.seed), replicated),
             mesh=mesh,
             width=w,
+            height=h,
             spp=spp,
             max_bounce=config.max_bounce,
             wave_size=wave_size,
-            num_pixels=num_pixels,
-            pix_per_dev=pix_per_dev,
+            num_slots=num_slots,
+            slots_per_dev=slots_per_dev,
             waves_per_dev=waves_per_dev,
+            tiles_x=tiles_x,
             use_fused=use_fused,
             ext=ext,
         )
-        # Strip per-device padding, then global padding.
-        fb_np = np.asarray(fb).reshape(n, fb_rows_per_dev, 3)[:, :pix_per_dev]
-        fb_np = fb_np.reshape(-1, 3)[:num_pixels]
-        img = np.asarray(linalg.vec3_to_rgb(jnp.asarray(fb_np) / spp)).reshape(h, w, 3)
+        # Strip per-device padding, then global padding; tiled order maps
+        # slots back to raster pixels with the cached permutation.
+        fb_np = np.asarray(fb).reshape(3, n, fb_cols_per_dev)[
+            :, :, :slots_per_dev
+        ].reshape(3, -1)
+        if tiles_x:
+            fb_np = fb_np[:, np.asarray(_slot_of_pixel(w, h, tiles_x))]
+        else:
+            fb_np = fb_np[:, :num_pixels]
+        img = np.asarray(
+            linalg.vec3_to_rgb(jnp.asarray(fb_np.T) / spp)
+        ).reshape(h, w, 3)
         segments = int(np.asarray(segs).sum())
 
     stats = RenderStats(

@@ -464,6 +464,258 @@ def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
     return _path_kernel
 
 
+# ---------------------------------------------------------------------------
+# In-kernel ray generation (fused wave v2).
+# ---------------------------------------------------------------------------
+# Round-2 profiling (docs/PERFORMANCE.md) charged ~272 ms of XLA fusions and
+# ~102 ms of layout copies per ~800 ms official frame to the glue AROUND the
+# kernels: the XLA ray-gen stack (16 wide (R,) fusions materializing the
+# field-major state to HBM), the sort-key elementwise chain, and the AoS
+# radiance transpose + pixel-coord math of the accumulator.  Generating rays
+# INSIDE the path kernel from ~30 SMEM scalars removes the first two
+# entirely: the wave's primary state never exists in HBM before bounce 0,
+# and the (dead, 6-D Morton) sort key is emitted into state row 15 by the
+# same kernel, so the only XLA left in a wave is argsort + two takes + the
+# field-major accumulate.
+#
+# Layout: par (32,) f32 SMEM = [origin, lower_left, right, up, bbox_min,
+# 32/span, pad...]; meta (8,) i32 SMEM = [slot_base, x_base, y_base, seed,
+# tile_base, 0, 0, 0].  Static GenParams pick raster vs 32×32-tiled pixel
+# order; tiled order makes every 1024-lane block a compact pixel square
+# (beam) instead of a 341-pixel scan-line strip — see rays_tiled below.
+#
+# RNG parity: streams are keyed on the RASTER global ray id
+# (y·width + x)·spp + s exactly like ops/rng.ray_streams, so the rendered
+# image is invariant to the pixel ORDER a wave uses.
+
+from typing import NamedTuple
+
+
+class GenParams(NamedTuple):
+    """Static ray-generation geometry (jit cache key)."""
+
+    spp: int
+    width: int  # image width (camera/raster math)
+    img_w: int
+    img_h: int
+    tiles_x: int = 0  # 0 = raster slot order; else 32×32 pixel tiles
+
+
+PAR_ORIGIN = 0
+PAR_LLC = 3
+PAR_RIGHT = 6
+PAR_UP = 9
+PAR_BMIN = 12
+PAR_SCALE = 15  # 32 / span, per axis
+PAR_ROWS = 32
+META_SLOT_BASE = 0
+META_X_BASE = 1
+META_Y_BASE = 2
+META_SEED = 3
+META_TILE_BASE = 4
+META_ROWS = 8
+PIX_TILE = 32  # tiled order: 32×32-pixel squares = 1024 slots
+
+
+def _kdivmod(v, d: float):
+    """Exact (v // d, v % d) for 0 <= v < 2^23 in f32 (no int div — the VPU
+    expands integer division ~250× slower).  Same fix-up as
+    wavefront._exact_divmod_f32."""
+    q = jnp.floor(v * jnp.float32(1.0 / d))
+    q = jnp.where(q * d > v, q - 1.0, q)
+    q = jnp.where((q + 1.0) * d <= v, q + 1.0, q)
+    return q, v - q * d
+
+
+def _gen_rays(par_ref, meta_ref, out_ref, gen: GenParams):
+    """Write a freshly-generated primary-ray state16 block into out_ref.
+
+    Mirrors Camera.getRay (src/stage3.zig:27-35) + wave_pixel_coords +
+    rng.ray_streams/uniform2 — identical f32 expressions, so the produced
+    rays match the XLA ray-gen path.  Rays whose pixel falls outside the
+    real image (tile padding) are born dead: alive = 0, radiance = 0,
+    segments = 0 — accumulation can then add blindly."""
+    lb = out_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lb), 1)[0]
+    i = (pl.program_id(0) * lb + lane).astype(jnp.float32)  # wave ray id
+    qi, s = _kdivmod(i, float(gen.spp))  # wave slot id, sample id
+
+    if gen.tiles_x:
+        # 32×32-pixel tiles, raster over tiles: slot = tile*1024 + ty*32+tx.
+        tile_i, w_in = _kdivmod(qi, float(PIX_TILE * PIX_TILE))
+        tile = meta_ref[META_TILE_BASE].astype(jnp.float32) + tile_i
+        ty, tx = _kdivmod(w_in, float(PIX_TILE))
+        tile_y, tile_x = _kdivmod(tile, float(gen.tiles_x))
+        x = tile_x * float(PIX_TILE) + tx
+        y = tile_y * float(PIX_TILE) + ty
+    else:
+        row_off = meta_ref[META_X_BASE].astype(jnp.float32) + qi
+        dyy, x = _kdivmod(row_off, float(gen.width))
+        y = meta_ref[META_Y_BASE].astype(jnp.float32) + dyy
+
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    in_range = (xi < gen.img_w) & (yi < gen.img_h)
+    # Raster global ray id — the RNG key, invariant to wave pixel order.
+    g = (yi * gen.width + xi) * gen.spp + s.astype(jnp.int32)
+    seed = meta_ref[META_SEED].astype(jnp.uint32)
+    streams = _mix_u32(
+        g.astype(jnp.uint32)
+        ^ (seed * jnp.uint32(0x9E3779B9))
+        ^ jnp.uint32(0x85EBCA6B)
+    )
+
+    jx = _u01(_bits(streams, 0, 0))
+    jy = _u01(_bits(streams, 0, 1))
+    sx = x + jx
+    sy = y + jy
+    dr = [
+        par_ref[PAR_LLC + a] + par_ref[PAR_RIGHT + a] * sx
+        + par_ref[PAR_UP + a] * sy
+        for a in range(3)
+    ]
+    inv_len = 1.0 / jnp.sqrt(dr[0] * dr[0] + dr[1] * dr[1] + dr[2] * dr[2])
+    ones = jnp.ones((lb,), jnp.float32)
+    zeros = jnp.zeros((lb,), jnp.float32)
+    for a in range(3):
+        out_ref[a, :] = par_ref[PAR_ORIGIN + a] * ones
+        out_ref[3 + a, :] = dr[a] * inv_len
+        out_ref[6 + a, :] = ones  # throughput
+        out_ref[9 + a, :] = zeros  # radiance
+    out_ref[12, :] = jnp.where(in_range, 1.0, 0.0)  # alive
+    out_ref[13, :] = pltpu.bitcast(streams[None, :], jnp.float32)[0, :]
+    out_ref[14, :] = zeros  # segments
+    out_ref[15, :] = zeros
+
+
+def _mix_u32(x):
+    """rng._mix inlined for the kernel (same ops, Mosaic-friendly)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _emit_sort_key(out_ref, par_ref):
+    """Write the (dead, 6-D interleaved Morton) beam-sort key into state
+    row 15 as a bitcast int32 — the in-kernel twin of
+    wavefront._ray_sort_key (same bit layout; see its docstring for the
+    measured rationale)."""
+    dead = (out_ref[12, :] <= 0.0).astype(jnp.int32)
+    key = jnp.zeros(out_ref.shape[1:], jnp.int32)
+    q = []
+    dq = []
+    for a in range(3):
+        rel = (out_ref[a, :] - par_ref[PAR_BMIN + a]) * par_ref[PAR_SCALE + a]
+        q.append(jnp.clip(rel, 0.0, 31.0).astype(jnp.int32))
+        dq.append(
+            jnp.clip((out_ref[3 + a, :] + 1.0) * 16.0, 0.0, 31.0).astype(
+                jnp.int32
+            )
+        )
+    for b in range(5):
+        for a in range(3):
+            key = key | (((q[a] >> b) & 1) << (6 * b + 2 * a))
+            key = key | (((dq[a] >> b) & 1) << (6 * b + 2 * a + 1))
+    key = (dead << 30) | key
+    out_ref[15, :] = pltpu.bitcast(key[None, :], jnp.float32)[0, :]
+
+
+def _make_path_kernel_gen(max_bounce: int, emissive_dummy: bool, tile: int,
+                          group_tiles: int, gen: GenParams, emit_key: bool):
+    from ..ops.mxu_intersect import _trace_body_resident
+
+    def _path_kernel_gen(par_ref, meta_ref, tri_ref, bbox_ref, gbox_ref,
+                         tree_ref, table_ref, bank_ref, out_ref, aux_ref,
+                         idx_ref, rec_ref, tmin_ref, stack_ref):
+        _gen_rays(par_ref, meta_ref, out_ref, gen)
+        for bounce in range(max_bounce):
+
+            @pl.when(jnp.any(out_ref[12, :] > 0.0))
+            def _(bounce=bounce):
+                _trace_body_resident(
+                    out_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
+                    tmin_ref, table_ref, rec_ref,
+                    tile=tile, group_tiles=group_tiles,
+                    tree_ref=tree_ref, stack_ref=stack_ref,
+                )
+                _shade1_body(rec_ref, aux_ref, out_ref, bank_ref, out_ref,
+                             bounce, emissive_dummy)
+
+        if emit_key:
+            _emit_sort_key(out_ref, par_ref)
+
+    return _path_kernel_gen
+
+
+@partial(
+    jax.jit,
+    static_argnames=("wave_size", "max_bounce", "emissive_dummy", "gen",
+                     "emit_key", "interpret", "lane_block"),
+)
+def path_trace_gen(
+    tris,  # ops.mxu_intersect.MXUTriangles (VMEM-resident, rec-emit sized)
+    par,  # (32,) f32 camera/bbox scalars (see PAR_* rows)
+    meta,  # (8,) i32 wave scalars (see META_* rows)
+    rec_table,  # (24, Tp) f32 Morton-ordered packed shade table
+    bank,  # (4, Pp) f32 u16-valued texel bank
+    wave_size: int,
+    max_bounce: int,
+    emissive_dummy: bool,
+    gen: GenParams,
+    emit_key: bool = False,
+    interpret: bool = False,
+    lane_block: int = PATH_LANE_BLOCK,
+):
+    """Generate one wave of primary rays IN-KERNEL and path-trace the first
+    ``max_bounce`` bounces in the same Pallas call.  Returns the (16, R)
+    state; with ``emit_key`` row 15 carries the beam-sort key (bitcast
+    int32) for the caller's argsort."""
+    R = wave_size
+    assert R % lane_block == 0, f"wave {R} not a multiple of {lane_block}"
+    num_groups = tris.group_bbox.shape[1]
+    nb = R // lane_block
+
+    out = pl.pallas_call(
+        _make_path_kernel_gen(max_bounce, emissive_dummy, tris.tile,
+                              tris.group_tiles, gen, emit_key),
+        grid=(nb,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((PAR_ROWS,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((META_ROWS,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tris.group_bbox.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tris.tree_bbox.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(rec_table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bank.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, lane_block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, R), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, lane_block), jnp.float32),  # aux (running best)
+            pltpu.VMEM((1, lane_block), jnp.int32),  # winner idx
+            pltpu.VMEM((24, lane_block), jnp.float32),  # winner record
+            pltpu.SMEM((num_groups,), jnp.float32),  # group entry t
+            pltpu.SMEM((TREE_MAX_STACK,), jnp.int32),  # tree DFS stack
+        ],
+    )(par, meta, tris.tri_data, tris.tile_bbox, tris.group_bbox,
+      tris.tree_bbox, rec_table, bank)
+    return out
+
+
 @partial(
     jax.jit,
     static_argnames=("max_bounce", "emissive_dummy", "interpret",

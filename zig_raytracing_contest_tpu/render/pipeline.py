@@ -26,7 +26,11 @@ from ..scene.materials import load_materials
 from ..scene.types import DeviceScene, build_device_scene
 from ..utils.image_io import write_png
 from ..utils.timing import PhaseTimers
-from .wavefront import render_frame_chunk, render_wave_accumulate
+from .wavefront import (
+    render_frame_chunk_rows,
+    render_wave_accumulate_rows,
+    whole_path_regime,
+)
 
 # Waves per device call when the frame renders as fori_loop chunks: bounds a
 # single call's device time (long-running calls can crash the TPU worker)
@@ -62,24 +66,64 @@ def _camera_device(camera: Camera):
     return cached[1]
 
 
-@partial(jax.jit, static_argnames=("rows",))
-def _zeros_fb(rows: int):
+@partial(jax.jit, static_argnames=("cols",))
+def _zeros_fb(cols: int):
     # jnp.zeros eagerly ships a host zero buffer over the tunnel (~30 ms
     # for a 1080p padded framebuffer); a jitted constant materializes it
-    # on-device.
-    return jnp.zeros((rows, 3), jnp.float32)
+    # on-device.  Field-major (3, S): accumulation is a row-wise
+    # dynamic_update_slice, no AoS transposes anywhere in the frame loop.
+    return jnp.zeros((3, cols), jnp.float32)
+
+
+# slot_of_pixel permutations for the tiled pixel order, cached per (w, h).
+_SLOT_PERM_CACHE: dict = {}
+
+
+def slot_geometry(width: int, height: int, whole_path: bool):
+    """(num_slots, tiles_x) of the frame's pixel-slot space.
+
+    Whole-path frames use 32×32-pixel TILED slot order (fused.GenParams):
+    each 1024-slot tile is a compact pixel square, so trace lane blocks are
+    narrow square beams instead of scan-line strips (tighter per-block
+    culls) and sky regions compact into whole dead blocks.  Other regimes
+    keep raster order (slot == pixel id)."""
+    if not whole_path:
+        return width * height, 0
+    tiles_x = -(-width // 32)
+    tiles_y = -(-height // 32)
+    return tiles_x * tiles_y * 1024, tiles_x
+
+
+def _slot_of_pixel(width: int, height: int, tiles_x: int):
+    """(num_pixels,) int32 device array: raster pixel id → tiled slot id."""
+    key = (width, height, tiles_x)
+    perm = _SLOT_PERM_CACHE.get(key)
+    if perm is None:
+        p = np.arange(width * height, dtype=np.int64)
+        x = p % width
+        y = p // width
+        tile = (y // 32) * tiles_x + (x // 32)
+        perm = jnp.asarray(
+            tile * 1024 + (y % 32) * 32 + (x % 32), jnp.int32
+        )
+        _SLOT_PERM_CACHE[key] = perm
+    return perm
 
 
 @partial(jax.jit, static_argnames=("num_pixels", "spp"))
-def _finalize_image(fb, num_pixels: int, spp: int):
-    """One device call for the frame epilogue: slice off the framebuffer
-    padding, average samples, gamma-encode to uint8 (vec3_to_rgb).
+def _finalize_image_rows(fb, num_pixels: int, spp: int, slot_perm=None):
+    """One device call for the frame epilogue: map slots back to raster
+    pixels (tiled order only), average samples, gamma-encode.
 
     Returns the image FLAT (num_pixels*3,): a (N, 3) uint8 tensor lives in
     lane-padded TPU tiles, so fetching it relayouts ~42× the payload over
     the tunnel; the 1-D form transfers dense (measured ~100 ms → ~20 ms
     for a 1080p frame)."""
-    return linalg.vec3_to_rgb(fb[:num_pixels] / spp).reshape(-1)
+    if slot_perm is not None:
+        fb = jnp.take(fb, slot_perm, axis=1)  # (3, num_pixels) raster order
+    else:
+        fb = fb[:, :num_pixels]
+    return linalg.vec3_to_rgb(fb.T / spp).reshape(-1)
 
 
 @dataclass
@@ -154,11 +198,20 @@ def render_scene(
             f"{num_pixels} pixels × {spp} spp = {total_rays} rays exceeds "
             f"the int32 ray-id space (2^31); reduce resolution or spp."
         )
-    # Waves are quantized to spp*256 rays: multiples of spp so every wave
-    # covers whole pixels (scatter-free accumulation) and of 256 for the
-    # Pallas ray blocks.  Padding rays of the final wave are masked.
-    # Multiple of every kernel's block constraint (ray-major 256, trace
-    # lanes 512) AND of spp (whole pixels per wave).
+    ext = config.ext_flags
+    if not ext.any:
+        ext = None
+    whole = whole_path_regime(scene, use_fused, ext)
+    num_slots, tiles_x = slot_geometry(w, h, whole)
+    total_rays = num_slots * spp
+    if total_rays >= 1 << 31:  # tiled slot padding can nudge past the check
+        raise ValueError(
+            f"{num_slots} slots × {spp} spp = {total_rays} rays exceeds "
+            f"the int32 ray-id space (2^31); reduce resolution or spp."
+        )
+    # Waves are quantized to spp*1024 rays: multiples of spp so every wave
+    # covers whole pixel slots (scatter-free accumulation) and of 1024 for
+    # the Pallas lane blocks AND the 32×32 pixel tiles of the tiled order.
     quantum = spp * 1024
     wave_size = max(
         quantum, min(config.wave_size, total_rays + quantum - 1) // quantum * quantum
@@ -168,7 +221,7 @@ def render_scene(
     wave_size = min(wave_size, (1 << 23) // quantum * quantum)
     num_waves = -(-total_rays // wave_size)
     wave_pixels = wave_size // spp
-    fb_rows = num_waves * wave_pixels  # padded framebuffer
+    fb_cols = num_waves * wave_pixels  # padded framebuffer (slot-major)
     log.info(
         "Num samples: %d, max bounce %d", config.num_samples, config.max_bounce
     )
@@ -176,13 +229,11 @@ def render_scene(
     cam_origin, cam_llc, cam_right, cam_up = _camera_device(camera)
     base_key = jnp.uint32(config.seed)
 
-    fb = _zeros_fb(fb_rows)
+    fb = _zeros_fb(fb_cols)
     seg_parts = []  # device scalars; converting per-wave would force a sync
+    slot_perm = _slot_of_pixel(w, h, tiles_x) if tiles_x else None
 
     progressive = progressive_path and config.progressive_every
-    ext = config.ext_flags
-    if not ext.any:
-        ext = None
 
     with timers.phase("render", "Rendered"):
         if not progressive:
@@ -190,41 +241,44 @@ def render_scene(
             # (the per-wave Python dispatch gap was ~29 ms/wave on v5e).
             for start in range(0, num_waves, WAVES_PER_CALL):
                 chunk = min(WAVES_PER_CALL, num_waves - start)
-                fb, segs = render_frame_chunk(
+                fb, segs = render_frame_chunk_rows(
                     scene,
                     fb,
                     cam_origin,
                     cam_llc,
                     cam_right,
                     cam_up,
+                    base_key,
                     w,
+                    h,
                     spp,
                     config.max_bounce,
                     wave_size,
-                    num_pixels,
+                    num_slots,
                     chunk,
                     jnp.int32(start),
-                    base_key,
+                    tiles_x,
                     use_fused,
                     ext,
                 )
                 seg_parts.append(segs)
         for wave in range(num_waves if progressive else 0):
-            fb, wave_segments = render_wave_accumulate(
+            fb, wave_segments = render_wave_accumulate_rows(
                 scene,
                 fb,
                 cam_origin,
                 cam_llc,
                 cam_right,
                 cam_up,
+                base_key,
+                jnp.int32(wave),
                 w,
+                h,
                 spp,
                 config.max_bounce,
-                jnp.int32(wave * wave_size),
                 wave_size,
-                num_pixels,
-                base_key,
-                jnp.int32(wave * wave_pixels),
+                num_slots,
+                tiles_x,
                 use_fused,
                 ext,
             )
@@ -235,21 +289,27 @@ def render_scene(
                 and (wave + 1) % config.progressive_every == 0
                 and wave + 1 < num_waves
             ):
-                # Scanline-progressive dump: pixels not yet reached stay dark.
-                partial_px = np.asarray(_finalize_image(fb, num_pixels, spp))
+                # Progressive dump: pixels not yet reached stay dark (tiled
+                # order makes this blocky rather than scanline — same
+                # contract: a valid partial image).
+                partial_px = np.asarray(
+                    _finalize_image_rows(fb, num_pixels, spp, slot_perm)
+                )
                 write_png(progressive_path, partial_px.reshape(h, w, 3))
         if config.debug_checks:
             # Debug mode (SURVEY §5; reference Debug/ReleaseSafe analogue,
             # build.zig:16): a NaN/Inf in accumulated radiance would clamp
             # silently at gamma encode — surface it as a typed failure with
             # the offending sample count instead.
-            bad = int(jnp.sum(~jnp.isfinite(fb[:num_pixels])))
+            bad = int(jnp.sum(~jnp.isfinite(fb)))
             if bad:
                 raise FloatingPointError(
                     f"debug_checks: {bad} non-finite framebuffer channel "
                     f"values before PNG encode"
                 )
-        img = np.asarray(_finalize_image(fb, num_pixels, spp)).reshape(h, w, 3)
+        img = np.asarray(
+            _finalize_image_rows(fb, num_pixels, spp, slot_perm)
+        ).reshape(h, w, 3)
         segments = int(np.sum([int(sp) for sp in seg_parts], dtype=np.int64))
 
     stats = RenderStats(

@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import dda, linalg, rng
 from ..ops.texture import sample_texture
@@ -499,6 +500,226 @@ def render_wave(
         # exhaustion returns black (src/stage3.zig:189-191).
 
     return pixel, radiance, segments
+
+
+def whole_path_regime(scene: DeviceScene, use_fused: bool | None = None,
+                      ext=None) -> bool:
+    """True when the wave renders via the whole-path kernel regime (fused
+    v2: in-kernel ray gen + all bounces in one or two Pallas calls).  The
+    pipeline uses this to pick the slot geometry (tiled pixel order) and
+    framebuffer layout up front."""
+    from ..ops.mxu_intersect import REC_EMIT_MAX_TRIS
+
+    if ext is not None and ext.any:
+        return False
+    if use_fused is None:
+        use_fused = scene.mxu is not None and jax.default_backend() == "tpu"
+    return bool(
+        use_fused
+        and scene.mxu is not None
+        and scene.color_u16f_t is not None
+        and scene.shade_table_t is not None
+        and scene.mxu.tri_data.shape[1] <= REC_EMIT_MAX_TRIS
+        and scene.mxu.tri_data.shape[1] <= SORT_MIN_TRIS
+    )
+
+
+def build_gen_par(scene: DeviceScene, cam_origin, cam_lower_left, cam_right,
+                  cam_up):
+    """(32,) f32 scalar bank for the in-kernel ray generator (fused.PAR_*
+    rows): camera basis + scene bbox quantization for the beam-sort key.
+    Built inside jit — one tiny concat per device call."""
+    span = jnp.maximum(scene.grid.bbox_max - scene.grid.bbox_min, 1e-30)
+    return jnp.concatenate(
+        [
+            cam_origin, cam_lower_left, cam_right, cam_up,
+            scene.grid.bbox_min, 32.0 / span,
+            jnp.zeros((14,), jnp.float32),
+        ]
+    )
+
+
+def render_wave_rows(
+    scene: DeviceScene,
+    par,  # (32,) f32 from build_gen_par
+    width: int,
+    height: int,
+    spp: int,
+    max_bounce: int,
+    slot_base,  # traced int32: first pixel SLOT of this wave
+    slot_cap,  # traced int32: rows at slots >= cap are zeroed (device tile
+    #            bound / image bound in raster order)
+    wave_size: int,
+    base_key,
+    tiles_x: int,  # 0 = raster slot order; else 32×32-pixel tiled order
+    use_fused: bool | None = None,
+    ext=None,
+):
+    """Field-major wave contract: returns (rows3 (3, R) radiance in WAVE
+    SLOT ORDER, segments int32 scalar).  Rays outside the image or past
+    ``slot_cap`` contribute exact zeros, so accumulation is maskless:
+    reshape (3, wp, spp) → sum → one dynamic_update_slice.
+
+    Whole-path regime: ray gen happens inside the Pallas kernel
+    (fused.path_trace_gen) — the wave's XLA footprint is argsort + two
+    takes.  Other regimes delegate to render_wave and transpose."""
+    R = wave_size
+    ext_any = ext is not None and ext.any
+    if use_fused is None:
+        use_fused = scene.mxu is not None and jax.default_backend() == "tpu"
+    slot_lane = slot_base + jnp.asarray(np.arange(R) // spp, jnp.int32)
+    mask = slot_lane < slot_cap
+
+    if whole_path_regime(scene, use_fused, ext):
+        from .fused import GenParams, path_trace_fused, path_trace_gen
+
+        interpret = jax.default_backend() != "tpu"
+        gen = GenParams(
+            spp=spp, width=width, img_w=width, img_h=height, tiles_x=tiles_x
+        )
+        sb = jnp.asarray(slot_base, jnp.int32)
+        y_base = sb // width  # scalar, once per wave
+        x_base = sb - y_base * width
+        tile_base = sb // 1024  # tiled waves are tile-aligned
+        zero = jnp.int32(0)
+        meta = jnp.stack(
+            [
+                sb, x_base, y_base,
+                jnp.asarray(base_key).astype(jnp.int32),
+                tile_base, zero, zero, zero,
+            ]
+        )
+        ed = scene.emissive_all_dummy is not None
+        do_sort = SORT_AFTER_BOUNCE0 and max_bounce > 1
+        state = path_trace_gen(
+            scene.mxu, par, meta, scene.shade_table_t, scene.color_u16f_t,
+            R, 1 if do_sort else max_bounce, ed, gen,
+            emit_key=do_sort, interpret=interpret,
+        )
+        if do_sort:
+            key = jax.lax.bitcast_convert_type(state[15], jnp.int32)
+            perm = jnp.argsort(key)
+            state = jnp.take(state, perm, axis=1)
+            state = path_trace_fused(
+                scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+                max_bounce - 1, ed, interpret=interpret, bounce0=1,
+            )
+            inv = jnp.argsort(perm)
+            rows4 = jnp.take(
+                jnp.concatenate([state[9:12], state[14:15]], axis=0),
+                inv, axis=1,
+            )
+        else:
+            rows4 = jnp.concatenate([state[9:12], state[14:15]], axis=0)
+        rows3 = jnp.where(mask[None, :], rows4[0:3], 0.0)
+        segs = jnp.sum(
+            jnp.where(mask, rows4[3], 0.0).astype(jnp.int32), dtype=jnp.int32
+        )
+        return rows3, segs
+
+    # Fallback: raster slot order == pixel ids (XLA path, per-bounce fused
+    # pipeline, extensions).  slot_cap doubles as the image bound.
+    assert tiles_x == 0, "tiled slot order requires the whole-path regime"
+    pixel, radiance, segments = render_wave(
+        scene,
+        par[0:3], par[3:6], par[6:9], par[9:12],
+        width, spp, max_bounce,
+        slot_base * spp, R, base_key,
+        pix_base=slot_base, use_fused=use_fused, ext=ext,
+    )
+    rows3 = jnp.where(mask[None, :], radiance.T, 0.0)
+    segs = jnp.sum(jnp.where(mask, segments, 0), dtype=jnp.int32)
+    return rows3, segs
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_bounce", "wave_size", "num_slots",
+        "num_waves", "tiles_x", "use_fused", "ext",
+    ),
+    donate_argnames=("fb",),
+)
+def render_frame_chunk_rows(
+    scene: DeviceScene,
+    fb,  # (3, S) field-major framebuffer (slot-major, padded to waves)
+    cam_origin,
+    cam_lower_left,
+    cam_right,
+    cam_up,
+    base_key,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounce: int,
+    wave_size: int,
+    num_slots: int,
+    num_waves: int,
+    start_wave,
+    tiles_x: int,
+    use_fused: bool | None = None,
+    ext=None,
+):
+    """``num_waves`` field-major waves in ONE device call (fori_loop)."""
+    wp = wave_size // spp
+    par = build_gen_par(scene, cam_origin, cam_lower_left, cam_right, cam_up)
+
+    def body(wv, carry):
+        fb, segs = carry
+        wave = start_wave + wv
+        slot_base = (wave * wp).astype(jnp.int32)
+        rows3, wave_segs = render_wave_rows(
+            scene, par, width, height, spp, max_bounce,
+            slot_base, jnp.int32(num_slots), wave_size, base_key, tiles_x,
+            use_fused, ext,
+        )
+        sums = rows3.reshape(3, wp, spp).sum(axis=2)
+        cur = jax.lax.dynamic_slice(fb, (0, slot_base), (3, wp))
+        fb = jax.lax.dynamic_update_slice(fb, cur + sums, (0, slot_base))
+        return fb, segs + wave_segs
+
+    return jax.lax.fori_loop(0, num_waves, body, (fb, jnp.int32(0)))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_bounce", "wave_size", "num_slots",
+        "tiles_x", "use_fused", "ext",
+    ),
+    donate_argnames=("fb",),
+)
+def render_wave_accumulate_rows(
+    scene: DeviceScene,
+    fb,
+    cam_origin,
+    cam_lower_left,
+    cam_right,
+    cam_up,
+    base_key,
+    wave,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounce: int,
+    wave_size: int,
+    num_slots: int,
+    tiles_x: int,
+    use_fused: bool | None = None,
+    ext=None,
+):
+    """Single-wave rows render + accumulate (progressive dumps)."""
+    wp = wave_size // spp
+    par = build_gen_par(scene, cam_origin, cam_lower_left, cam_right, cam_up)
+    slot_base = (wave * wp).astype(jnp.int32)
+    rows3, segs = render_wave_rows(
+        scene, par, width, height, spp, max_bounce, slot_base,
+        jnp.int32(num_slots), wave_size, base_key, tiles_x, use_fused, ext,
+    )
+    sums = rows3.reshape(3, wp, spp).sum(axis=2)
+    cur = jax.lax.dynamic_slice(fb, (0, slot_base), (3, wp))
+    fb = jax.lax.dynamic_update_slice(fb, cur + sums, (0, slot_base))
+    return fb, segs
 
 
 def accumulate_wave(framebuffer, pixel, radiance, segments, pix_base, spp, num_pixels):
