@@ -27,7 +27,7 @@ from ..scene.types import DeviceScene, build_device_scene
 from ..utils.image_io import write_png
 from ..utils.timing import PhaseTimers
 from .wavefront import (
-    render_frame_chunk_rows,
+    render_frame_chunk_emit,
     render_wave_accumulate_rows,
     whole_path_regime,
 )
@@ -36,6 +36,21 @@ from .wavefront import (
 # single call's device time (long-running calls can crash the TPU worker)
 # while amortizing dispatch overhead across the chunk.
 WAVES_PER_CALL = 64
+
+
+def _chunk_plan(num_waves: int, cap: int = WAVES_PER_CALL) -> list[int]:
+    """Descending chunk sizes (each ~1/3 of the remaining waves): early
+    chunks are big so their u8 transfers ride under later chunks' compute,
+    and the LAST chunk is one wave so the only exposed device→host bytes
+    are ~1/num_waves of the image (measured: [4,4,2,1,1] and [2]*6 tie at
+    537 ms vs 641 ms for one 12-wave call on the official bench)."""
+    plan = []
+    rem = num_waves
+    while rem > 0:
+        c = max(1, min(cap, -(-rem // 3)))
+        plan.append(c)
+        rem -= c
+    return plan
 
 log = logging.getLogger("zig_raytracing_contest_tpu")
 
@@ -108,6 +123,25 @@ def _slot_of_pixel(width: int, height: int, tiles_x: int):
         )
         _SLOT_PERM_CACHE[key] = perm
     return perm
+
+
+def _pixel_of_slot(width: int, height: int, tiles_x: int, fb_cols: int):
+    """(fb_cols,) int32 HOST array: slot id → raster pixel id, -1 for
+    padding slots (tile overhang / wave tail).  The streaming assembly's
+    scatter map — tiled order inverts _slot_of_pixel; raster order is the
+    identity over the real pixels."""
+    key = (width, height, tiles_x, fb_cols)
+    inv = _SLOT_PERM_CACHE.get(key)
+    if inv is None:
+        num_pixels = width * height
+        inv = np.full(fb_cols, -1, np.int64)
+        if tiles_x:
+            perm = np.asarray(_slot_of_pixel(width, height, tiles_x))
+            inv[perm] = np.arange(num_pixels, dtype=np.int64)
+        else:
+            inv[:num_pixels] = np.arange(num_pixels, dtype=np.int64)
+        _SLOT_PERM_CACHE[key] = inv
+    return inv
 
 
 @partial(jax.jit, static_argnames=("num_pixels", "spp"))
@@ -236,12 +270,19 @@ def render_scene(
     progressive = progressive_path and config.progressive_every
 
     with timers.phase("render", "Rendered"):
+        pieces = None
         if not progressive:
             # Whole-frame path: fori_loop chunks, one device call per chunk
             # (the per-wave Python dispatch gap was ~29 ms/wave on v5e).
-            for start in range(0, num_waves, WAVES_PER_CALL):
-                chunk = min(WAVES_PER_CALL, num_waves - start)
-                fb, segs = render_frame_chunk_rows(
+            # Each chunk ALSO emits its finished slots as u8 and starts the
+            # device→host copy immediately: transfers overlap later chunks'
+            # compute instead of serializing after the last wave (the
+            # tunnel's 26 ms + 66 MB/s tax; see render_frame_chunk_emit).
+            segs = jnp.int32(0)
+            pieces = []
+            start = 0
+            for chunk in _chunk_plan(num_waves):
+                fb, enc, segs = render_frame_chunk_emit(
                     scene,
                     fb,
                     cam_origin,
@@ -249,6 +290,7 @@ def render_scene(
                     cam_right,
                     cam_up,
                     base_key,
+                    segs,
                     w,
                     h,
                     spp,
@@ -261,7 +303,12 @@ def render_scene(
                     use_fused,
                     ext,
                 )
-                seg_parts.append(segs)
+                try:
+                    enc.copy_to_host_async()
+                except Exception:
+                    pass  # non-jax.Array backends (interpret/debug)
+                pieces.append((start * wave_pixels, enc))
+                start += chunk
         for wave in range(num_waves if progressive else 0):
             fb, wave_segments = render_wave_accumulate_rows(
                 scene,
@@ -307,10 +354,30 @@ def render_scene(
                     f"debug_checks: {bad} non-finite framebuffer channel "
                     f"values before PNG encode"
                 )
-        img = np.asarray(
-            _finalize_image_rows(fb, num_pixels, spp, slot_perm)
-        ).reshape(h, w, 3)
-        segments = int(np.sum([int(sp) for sp in seg_parts], dtype=np.int64))
+        if pieces is not None:
+            # Streaming assembly: fetch each chunk's u8 slice (blocks until
+            # that chunk's async copy lands) and scatter it into the raster
+            # image while LATER chunks are still computing on device.  The
+            # last 4 bytes of the final piece carry the running segment
+            # total — no separate scalar round trip.
+            pix_of_slot = _pixel_of_slot(w, h, tiles_x, fb_cols)
+            img = np.empty((num_pixels, 3), np.uint8)
+            segments = 0
+            for slot0, enc in pieces:
+                buf = np.asarray(enc)
+                segments = int(np.frombuffer(buf[-4:].tobytes(), np.int32)[0])
+                data = buf[:-4].reshape(-1, 3)
+                dest = pix_of_slot[slot0 : slot0 + data.shape[0]]
+                valid = dest >= 0
+                img[dest[valid]] = data[valid]
+            img = img.reshape(h, w, 3)
+        else:
+            img = np.asarray(
+                _finalize_image_rows(fb, num_pixels, spp, slot_perm)
+            ).reshape(h, w, 3)
+            segments = int(
+                np.sum([int(sp) for sp in seg_parts], dtype=np.int64)
+            )
 
     stats = RenderStats(
         width=w,

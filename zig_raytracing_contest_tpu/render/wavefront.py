@@ -661,6 +661,76 @@ def render_frame_chunk_rows(
     ext=None,
 ):
     """``num_waves`` field-major waves in ONE device call (fori_loop)."""
+    return _render_chunk_body(
+        scene, fb, cam_origin, cam_lower_left, cam_right, cam_up, base_key,
+        jnp.int32(0), width, height, spp, max_bounce, wave_size, num_slots,
+        num_waves, start_wave, tiles_x, use_fused, ext,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_bounce", "wave_size", "num_slots",
+        "num_waves", "tiles_x", "use_fused", "ext",
+    ),
+    donate_argnames=("fb",),
+)
+def render_frame_chunk_emit(
+    scene: DeviceScene,
+    fb,  # (3, S) field-major framebuffer (slot-major, padded to waves)
+    cam_origin,
+    cam_lower_left,
+    cam_right,
+    cam_up,
+    base_key,
+    seg_in,  # int32 running segment total (threaded through chunks)
+    width: int,
+    height: int,
+    spp: int,
+    max_bounce: int,
+    wave_size: int,
+    num_slots: int,
+    num_waves: int,
+    start_wave,
+    tiles_x: int,
+    use_fused: bool | None = None,
+    ext=None,
+):
+    """``num_waves`` waves in one device call, PLUS the chunk's finished
+    pixels gamma-encoded for streaming device→host transfer.
+
+    The axon-tunneled v5e pays ~26 ms latency + ~66 MB/s for device→host
+    reads, so fetching the full 1080p image after the last wave costs
+    ~180-280 ms of pure tail (measured round 3).  Each wave owns a disjoint
+    slot range, so a chunk's slots are FINAL when it returns: encode them
+    to u8 here and let the caller ``copy_to_host_async`` the slice while
+    later chunks compute — the transfer rides under device compute and
+    only the last (smallest) chunk's bytes remain exposed.
+
+    Returns (fb, enc, seg_out): ``enc`` is the chunk's slots as flat u8
+    RGB (slot order) with the RUNNING segment total appended as 4 bytes
+    (little-endian int32) — reading the last chunk's tail gives the frame
+    total without a separate ~28 ms scalar round trip.
+    """
+    wp = wave_size // spp
+    fb, segs = _render_chunk_body(
+        scene, fb, cam_origin, cam_lower_left, cam_right, cam_up, base_key,
+        seg_in, width, height, spp, max_bounce, wave_size, num_slots,
+        num_waves, start_wave, tiles_x, use_fused, ext,
+    )
+    s0 = (start_wave * wp).astype(jnp.int32)
+    sl = jax.lax.dynamic_slice(fb, (0, s0), (3, num_waves * wp))
+    enc = linalg.vec3_to_rgb(sl.T / spp).reshape(-1)
+    seg_bytes = jax.lax.bitcast_convert_type(segs, jnp.uint8)
+    return fb, jnp.concatenate([enc, seg_bytes]), segs
+
+
+def _render_chunk_body(
+    scene, fb, cam_origin, cam_lower_left, cam_right, cam_up, base_key,
+    seg_in, width, height, spp, max_bounce, wave_size, num_slots, num_waves,
+    start_wave, tiles_x, use_fused, ext,
+):
     wp = wave_size // spp
     par = build_gen_par(scene, cam_origin, cam_lower_left, cam_right, cam_up)
 
@@ -678,7 +748,7 @@ def render_frame_chunk_rows(
         fb = jax.lax.dynamic_update_slice(fb, cur + sums, (0, slot_base))
         return fb, segs + wave_segs
 
-    return jax.lax.fori_loop(0, num_waves, body, (fb, jnp.int32(0)))
+    return jax.lax.fori_loop(0, num_waves, body, (fb, seg_in))
 
 
 @partial(
