@@ -43,6 +43,33 @@ def _render(name):
     return img
 
 
+def test_golden_duck_glb(tmp_path):
+    """Duck-class GLB from the SECOND independent exporter
+    (scripts/duck_builder.py): ~12k-triangle lathed duck, one interleaved
+    byteStride vertex buffer, u16 indices, quaternion node rotations, a
+    real 512×512 embedded-PNG texture (packed-gather shading regime), and
+    an aspectRatio camera — the loader subset confronted with a file no
+    repo-internal SceneBuilder path produced (VERDICT r2 missing-item 1;
+    reference matrix: Duck.glb, sublime-project build_systems)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from duck_builder import write_duck_glb
+
+    glb = write_duck_glb(tmp_path / "duck.glb")
+    cfg = Config(
+        grid_resolution=(32, 32, 32), num_samples=4, max_bounce=3, seed=12345
+    )
+    scene, cam, _ = prepare_scene(str(glb), cfg, height=90)
+    assert cam.width == 160  # 90 * aspectRatio 16:9
+    img, _ = render_scene(scene, cam, cfg)
+    golden = np.asarray(Image.open(ASSETS / "golden_duck.png"))
+    assert img.shape == golden.shape
+    diff = np.abs(img.astype(int) - golden.astype(int))
+    assert (diff > 3).mean() < 0.005, f"duck: {(diff > 3).mean():.4%} pixels off"
+    assert diff.mean() < 1.0, f"duck: mean |diff| {diff.mean():.3f}"
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_golden(name):
     golden = np.asarray(Image.open(ASSETS / f"golden_{name}.png"))
