@@ -39,15 +39,17 @@ WAVES_PER_CALL = 64
 
 
 def _chunk_plan(num_waves: int, cap: int = WAVES_PER_CALL) -> list[int]:
-    """Descending chunk sizes (each ~1/3 of the remaining waves): early
-    chunks are big so their u8 transfers ride under later chunks' compute,
-    and the LAST chunk is one wave so the only exposed device→host bytes
-    are ~1/num_waves of the image (measured: [4,4,2,1,1] and [2]*6 tie at
-    537 ms vs 641 ms for one 12-wave call on the official bench)."""
+    """Descending power-of-two chunk sizes: early chunks are big so their
+    u8 transfers ride under later chunks' compute, and the LAST chunk is
+    one wave so the only exposed device→host bytes are ~1/num_waves of
+    the image (measured: [4,4,2,1,1] and [2]*6 tie at 537 ms vs 641 ms
+    for one 12-wave call on the official bench).  Power-of-two sizes keep
+    the number of DISTINCT sizes — and therefore of XLA chunk-program
+    compiles at warmup — logarithmic."""
     plan = []
     rem = num_waves
     while rem > 0:
-        c = max(1, min(cap, -(-rem // 3)))
+        c = min(cap, 1 << max(0, rem.bit_length() - 2))
         plan.append(c)
         rem -= c
     return plan
