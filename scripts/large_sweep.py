@@ -25,6 +25,11 @@ import zig_raytracing_contest_tpu.ops.mxu_intersect as mi
 
 if "--notree" in sys.argv:
     mi.TREE_MIN_TILES = 1 << 30
+if "--nouv" in sys.argv:
+    mi.EXTRACT_UV_IN_KERNEL = False
+for a in sys.argv[1:]:
+    if a.startswith("--subblock="):
+        mi.SUBBLOCK_SWEEP = int(a.split("=")[1])
 
 key = None
 for a in sys.argv[1:]:

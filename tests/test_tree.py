@@ -138,3 +138,62 @@ def test_streaming_group_tree_matches_oracle(monkeypatch):
     assert hit.sum() > 50
     np.testing.assert_array_equal(np.asarray(aux[2])[act], t_o[act])
     np.testing.assert_array_equal(np.asarray(idx_m)[hit], np.asarray(i_x)[hit])
+
+
+def test_streaming_wide_tile_matches_oracle(monkeypatch):
+    """Huge scenes bake with DOUBLED tiles to keep the SMEM bbox tables
+    bounded (scene/types._stream_tile) — pin the streaming kernel at
+    tile=512 (the 4M-triangle geometry) against the flat XLA oracle."""
+    from zig_raytracing_contest_tpu.ops import mxu_intersect as mi
+
+    tris = _random_bank(13, T=16384, tile=512)
+    assert tris.tile == 512 and tris.tile_bbox.shape[1] == 32
+
+    R = 512
+    streams = rng.ray_streams(jnp.uint32(17), jnp.arange(R, dtype=jnp.int32))
+    org = (
+        jnp.stack([rng.uniform(streams, 40 + k) for k in range(3)], 1) * 16.0
+        - 8.0
+    )
+    g = jnp.stack([rng.normal3(streams, 9)[:, a] for a in range(3)], 1)
+    d = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+    active = rng.uniform(streams, 50) < 0.9
+
+    t_x, i_x, _, _ = nearest_hit_xla(tris, org, d, active)
+
+    state = jnp.concatenate(
+        [
+            org.T,
+            d.T,
+            jnp.ones((3, R)),
+            jnp.zeros((3, R)),
+            active.astype(jnp.float32)[None],
+            jax.lax.bitcast_convert_type(streams, jnp.float32)[None],
+            jnp.zeros((2, R)),
+        ],
+        axis=0,
+    ).astype(jnp.float32)
+    monkeypatch.setattr(mi, "VMEM_RESIDENT_MAX_TRIS", 0)  # force streaming
+    trace_emit_aux._clear_cache()
+    aux, idx_m, _ = trace_emit_aux(tris, state, interpret=True)
+    trace_emit_aux._clear_cache()
+
+    act = np.asarray(active)
+    t_o = np.asarray(t_x)
+    hit = act & np.isfinite(t_o)
+    assert hit.sum() > 50
+    np.testing.assert_array_equal(np.asarray(aux[2])[act], t_o[act])
+    np.testing.assert_array_equal(np.asarray(idx_m)[hit], np.asarray(i_x)[hit])
+
+
+def test_stream_tile_plan():
+    from zig_raytracing_contest_tpu.scene.types import (
+        STREAM_MAX_TILES,
+        _stream_tile,
+    )
+
+    assert _stream_tile(100_000) == 256
+    assert _stream_tile(256 * STREAM_MAX_TILES) == 256
+    assert _stream_tile(256 * STREAM_MAX_TILES + 1) == 512
+    assert _stream_tile(4_000_000) == 512
+    assert _stream_tile(8_300_000) == 1024

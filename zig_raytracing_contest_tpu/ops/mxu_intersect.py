@@ -311,25 +311,28 @@ def _intersect_tile(ox, oy, oz, dx, dy, dz, rows):
     return t, u, v, ok
 
 
-def recompute_uv(tris: MXUTriangles, orig, direction, idx):
-    """Recompute (t, u, v) for each ray's winning (Morton-space) triangle.
+def recompute_uv(tris: MXUTriangles, state16, aux, idx):
+    """Fill aux rows 0/1 (u, v) from the winner index after a trace kernel
+    ran with ``extract_uv=False`` (EXTRACT_UV_IN_KERNEL off).
 
-    One 13-float gather per ray per bounce — the only gather in the MXU
-    path.  Same FMA sequence as the kernels, so results match bit-for-bit.
-    """
+    One (13, R) gather + a VPU FMA tail per BOUNCE, replacing two (Kt, LB)
+    masked reduces per SWEPT TILE inside the kernels — a net win whenever
+    rays sweep more than a couple of tiles each.  Uses the kernel's winning
+    t (aux row 2) and the same FMA order as ``_tile_update``'s VPU path, so
+    the barycentrics agree with the in-kernel extraction to f32 rounding;
+    misses (t == INF) keep the kernel contract u = v = 0."""
     rows = tris.tri_data[:, idx]  # (13, R)
-    o = orig
-    d = direction
-    ou = o[:, 0] * rows[0] + o[:, 1] * rows[1] + o[:, 2] * rows[2] + rows[9]
-    ov = o[:, 0] * rows[3] + o[:, 1] * rows[4] + o[:, 2] * rows[5] + rows[10]
-    ow = o[:, 0] * rows[6] + o[:, 1] * rows[7] + o[:, 2] * rows[8] + rows[11]
-    du = d[:, 0] * rows[0] + d[:, 1] * rows[1] + d[:, 2] * rows[2]
-    dv = d[:, 0] * rows[3] + d[:, 1] * rows[4] + d[:, 2] * rows[5]
-    dw = d[:, 0] * rows[6] + d[:, 1] * rows[7] + d[:, 2] * rows[8]
-    t = -ow / dw
-    u = ou + t * du
-    v = ov + t * dv
-    return t, u, v
+    o0, o1, o2 = state16[0], state16[1], state16[2]
+    d0, d1, d2 = state16[3], state16[4], state16[5]
+    t = aux[2]
+    ou = rows[0] * o0 + rows[1] * o1 + rows[2] * o2 + rows[9]
+    ov = rows[3] * o0 + rows[4] * o1 + rows[5] * o2 + rows[10]
+    du = rows[0] * d0 + rows[1] * d1 + rows[2] * d2
+    dv = rows[3] * d0 + rows[4] * d1 + rows[5] * d2
+    hit = t < INF
+    u = jnp.where(hit, ou + t * du, 0.0)
+    v = jnp.where(hit, ov + t * dv, 0.0)
+    return jnp.concatenate([u[None], v[None], aux[2:]], axis=0)
 
 
 def nearest_hit_xla(tris: MXUTriangles, orig, direction, active, tile: int | None = None):
@@ -425,7 +428,8 @@ VMEM_WIDE_BLOCK_MAX_TRIS = 1 << 16
 
 
 def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
-                 sl=slice(None), table_rows=None, rec_ref=None):
+                 sl=slice(None), table_rows=None, rec_ref=None,
+                 extract_uv=True):
     """Intersect one (13, Kt) transform tile against the lane rays and fold
     the winners into the running-nearest refs.  Shared by the VMEM-resident
     and HBM-streaming trace kernels.  ``sl`` restricts the update to a
@@ -497,14 +501,20 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
     tile_min = jnp.min(t, axis=0)  # (LB,)
     ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
     cand = jnp.min(jnp.where(t <= tile_min[None, :], ids, Tp), axis=0)
-    sel = ids == cand[None, :]
-    u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
-    v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
     best_t = aux_ref[2, sl]
     better = tile_min < best_t
     aux_ref[2, sl] = jnp.where(better, tile_min, best_t)
-    aux_ref[0, sl] = jnp.where(better, u_sel, aux_ref[0, sl])
-    aux_ref[1, sl] = jnp.where(better, v_sel, aux_ref[1, sl])
+    if extract_uv or rec_ref is not None:
+        sel = ids == cand[None, :]
+    if extract_uv:
+        # Per-tile winner u/v extraction: two (Kt, LB) masked reduces per
+        # sweep.  Callers that recompute u/v once per bounce from the
+        # winner's transform rows (recompute_uv — bit-exact by shared op
+        # order) skip this; aux rows 0/1 then stay 0.
+        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+        aux_ref[0, sl] = jnp.where(better, u_sel, aux_ref[0, sl])
+        aux_ref[1, sl] = jnp.where(better, v_sel, aux_ref[1, sl])
     idx_ref[0, sl] = jnp.where(better, s + cand, idx_ref[0, sl])
     # Diagnostic: tiles actually swept by this lane's block (aux row 5 is
     # otherwise unused; ~free — one vector add per executed tile update).
@@ -697,6 +707,22 @@ F2B_MIN_GROUPS = 8
 # scale with the tiles a block's beam actually reaches, and near-child-
 # first ordering settles the running best early (occlusion culling).
 TREE_MIN_TILES = 16
+
+# Sub-block sweep predication: a surviving tile is swept per lane
+# SUB-RANGE (LANE_BLOCK // SUBBLOCK_SWEEP lanes each), each gated by its
+# own cull test — halves/quarters of a diverged block skip tiles the
+# whole-block any-lane test could not.  1 = whole-block updates.
+# (Measured WORSE at 2 on both the official scene — r2: trace 364 → 442
+# ms — and the 100k scene — r3: 4.09 → 3.51 Mrays/s: the extra per-sub-
+# block branch + reduce overhead exceeds the finer-cull savings.)
+SUBBLOCK_SWEEP = 1
+# When False, the trace kernels skip the per-tile winner u/v extraction
+# (two (Kt, LB) masked reduces per sweep); trace_emit_aux recomputes u/v
+# from the winner's transform rows once per bounce (recompute_uv — bit-
+# exact, verified in interpret mode and by the oracle-equality tests).
+# Measured on the 100k bench: 3.91 → 4.09 Mrays/s.  The whole-path kernel
+# shades in-kernel and always extracts (render/fused.py forces it).
+EXTRACT_UV_IN_KERNEL = False
 # DFS stack bound for the OCTAL traversal: each expansion pushes at most
 # 8 children and descends one octal level, so worst-case depth is
 # 8 · ceil(log2(P2)/3) + roots — 54 at P2 = 2^17 (the largest heap the
@@ -708,7 +734,7 @@ TREE_MAX_STACK = 64
 def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
                          idx_ref, tmin_ref, table_ref=None, rec_ref=None,
                          tile=TRI_TILE, group_tiles=GROUP_TILES,
-                         tree_ref=None, stack_ref=None):
+                         tree_ref=None, stack_ref=None, extract_uv=None):
     Tp = tri_ref.shape[1]
     num_tiles = bbox_ref.shape[1]  # REAL tiles (loop bound)
     num_groups = gbox_ref.shape[1]
@@ -716,21 +742,46 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
     if rec_ref is not None:
         rec_ref[:, :] = jnp.zeros(rec_ref.shape, jnp.float32)
 
+    if extract_uv is None:
+        extract_uv = EXTRACT_UV_IN_KERNEL
+
     def sweep_tile(jt):
-        # (256-lane sub-block predication was tried here and measured WORSE
-        # — trace 364 → 442 ms/frame: the per-sub-block branch + reduce
-        # overhead exceeds the finer-cull savings.  Whole-block updates.)
+        # (On the official 7-tile scene, sub-block predication measured
+        # WORSE — trace 364 → 442 ms/frame: the per-sub-block branch +
+        # reduce overhead exceeds the finer-cull savings there.  Large
+        # diverged scenes are gated by SUBBLOCK_SWEEP.)
         s = pl.multiple_of(jt * tile, tile)
         rows = tri_ref[:, pl.ds(s, tile)]  # (13, Kt)
+        table_rows = (
+            table_ref[:, pl.ds(s, tile)] if table_ref is not None else None
+        )
+        if SUBBLOCK_SWEEP > 1:
+            lb = aux_ref.shape[1]
+            w = lb // SUBBLOCK_SWEEP
+            jc = jnp.minimum(jt, num_tiles - 1)
+            for q in range(SUBBLOCK_SWEEP):
+                sl = slice(q * w, (q + 1) * w)
+                hit_q = jnp.any(_cull_mask(
+                    bbox_ref, jc,
+                    (o[0][sl], o[1][sl], o[2][sl]),
+                    (inv[0][sl], inv[1][sl], inv[2][sl]),
+                    aux_ref[2, sl], active[sl],
+                ))
+
+                @pl.when(hit_q)
+                def _(sl=sl):
+                    _tile_update(
+                        rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
+                        aux_ref, idx_ref, sl=sl, table_rows=table_rows,
+                        rec_ref=rec_ref, extract_uv=extract_uv,
+                    )
+            return
         _tile_update(
             rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
             aux_ref, idx_ref,
-            table_rows=(
-                table_ref[:, pl.ds(s, tile)]
-                if table_ref is not None
-                else None
-            ),
+            table_rows=table_rows,
             rec_ref=rec_ref,
+            extract_uv=extract_uv,
         )
 
     def visit_tile(jt, real):
@@ -957,10 +1008,32 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                 @pl.when(tile_hit)
                 def _():
                     s = pl.multiple_of(jt * tile, tile)
-                    _tile_update(
-                        scratch[slot], o[0], o[1], o[2], d[0], d[1], d[2],
-                        s, Tp, aux_ref, idx_ref,
-                    )
+                    if SUBBLOCK_SWEEP > 1:
+                        lb = aux_ref.shape[1]
+                        w = lb // SUBBLOCK_SWEEP
+                        for q in range(SUBBLOCK_SWEEP):
+                            sl = slice(q * w, (q + 1) * w)
+                            hit_q = jnp.any(_cull_mask(
+                                bbox_ref, jc,
+                                (o[0][sl], o[1][sl], o[2][sl]),
+                                (inv[0][sl], inv[1][sl], inv[2][sl]),
+                                aux_ref[2, sl], active[sl],
+                            ))
+
+                            @pl.when(hit_q)
+                            def _(sl=sl):
+                                _tile_update(
+                                    scratch[slot], o[0], o[1], o[2],
+                                    d[0], d[1], d[2], s, Tp, aux_ref,
+                                    idx_ref, sl=sl,
+                                    extract_uv=EXTRACT_UV_IN_KERNEL,
+                                )
+                    else:
+                        _tile_update(
+                            scratch[slot], o[0], o[1], o[2], d[0], d[1],
+                            d[2], s, Tp, aux_ref, idx_ref,
+                            extract_uv=EXTRACT_UV_IN_KERNEL,
+                        )
 
                 return 0
 
@@ -1114,6 +1187,9 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
 
     if emit_rec:
         aux, idx_m, rec = out
-        return aux, idx_m[0], rec
-    aux, idx_m = out
-    return aux, idx_m[0], None
+    else:
+        aux, idx_m = out
+        rec = None
+    if not EXTRACT_UV_IN_KERNEL:
+        aux = recompute_uv(tris, state16, aux, idx_m[0])
+    return aux, idx_m[0], rec

@@ -457,6 +457,9 @@ def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
                     tmin_ref, table_ref, rec_ref,
                     tile=tile, group_tiles=group_tiles,
                     tree_ref=tree_ref, stack_ref=stack_ref,
+                    # Shading runs in-kernel off aux rows 0/1 — UV must be
+                    # extracted here regardless of EXTRACT_UV_IN_KERNEL.
+                    extract_uv=True,
                 )
                 _shade1_body(rec_ref, aux_ref, out_ref, bank_ref, out_ref,
                              bounce, emissive_dummy)
@@ -640,6 +643,9 @@ def _make_path_kernel_gen(max_bounce: int, emissive_dummy: bool, tile: int,
                     tmin_ref, table_ref, rec_ref,
                     tile=tile, group_tiles=group_tiles,
                     tree_ref=tree_ref, stack_ref=stack_ref,
+                    # Shading runs in-kernel off aux rows 0/1 — UV must be
+                    # extracted here regardless of EXTRACT_UV_IN_KERNEL.
+                    extract_uv=True,
                 )
                 _shade1_body(rec_ref, aux_ref, out_ref, bank_ref, out_ref,
                              bounce, emissive_dummy)

@@ -37,9 +37,26 @@ from .materials import MaterialBank
 
 # Auto-backend cap for the MXU path.  Up to ~64k triangles the transform
 # bank is VMEM-resident; beyond that the streaming trace kernel DMAs culled
-# tiles from HBM (ops/mxu_intersect.py).  The cap bounds the SMEM tile-bbox
-# table and the host bake; scenes past it use the grid/DDA fallback.
-MXU_BACKEND_MAX_TRIANGLES = 1 << 21
+# tiles from HBM (ops/mxu_intersect.py).  Scenes past the cap use the
+# grid/DDA fallback — the cap only bounds host bake memory (the bake holds
+# a few (13, T) f32 copies): at 2^24 that is ~2.6 GB host-side.  There is
+# no device-side cliff below it: past STREAM_MAX_TILES · TRI_TILE
+# triangles the bake doubles the tile size (coarser culls, same SMEM
+# tables), so throughput degrades smoothly instead of dropping 30× onto
+# the grid path (round-2 VERDICT item 6).
+MXU_BACKEND_MAX_TRIANGLES = 1 << 24
+
+# Streaming-bake SMEM budget: the per-tile bbox table is (6, tiles) f32 in
+# SMEM.  8192 tiles (= 2^21 triangles at tile 256) is the largest table
+# proven on-chip; bigger scenes grow the TILE, not the table.
+STREAM_MAX_TILES = 8192
+
+
+def _stream_tile(num_triangles: int) -> int:
+    tile = TRI_TILE
+    while num_triangles > tile * STREAM_MAX_TILES:
+        tile *= 2
+    return tile
 
 # Texel banks up to this many texels take the one-hot-MXU fetch path
 # (render/fused.py single-kernel shading).  Bound sets the in-kernel
@@ -224,7 +241,7 @@ def build_device_scene(
             tile=(
                 TRI_TILE_SMALL
                 if geometry.num_triangles <= VMEM_RESIDENT_MAX_TRIS
-                else TRI_TILE
+                else _stream_tile(geometry.num_triangles)
             ),
         )
         if use_mxu
