@@ -271,3 +271,215 @@ def test_path_kernel_matches_bounce_composition(scene_and_rays):
     )
     # Value rows (origin/direction/throughput/radiance) to f32 tightness.
     np.testing.assert_allclose(a[0:12], b[0:12], rtol=3e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Paged texel bank (scene/types._pack_paged_bank + fused._fetch_paged):
+# banks past the one-hot budget stay VMEM-resident as 2048-texel pages.
+# ---------------------------------------------------------------------------
+
+
+def test_paged_bank_layout():
+    """bank[32p + 8·corner + 2c + half, col] must hold the CORNER texel of
+    base texel p·2048 + half·1024 + col, channel c, under the texture's
+    wrap mode — the invariant _fetch_paged's slice/dot fetch relies on."""
+    from zig_raytracing_contest_tpu.scene.materials import INT32_MIN, INT32_MAX
+    from zig_raytracing_contest_tpu.scene.types import (
+        PAGE_TEXELS,
+        _pack_paged_bank,
+    )
+
+    rng_np = np.random.default_rng(0)
+    # Texture 0: 64×72 repeat (4608 texels); texture 1: 28×14 clamp (392).
+    w0, h0, w1, h1 = 64, 72, 28, 14
+    P = w0 * h0 + w1 * h1
+    tex = rng_np.integers(0, 65536, size=(P, 4)).astype(np.uint16)
+    desc = np.asarray(
+        [
+            [0, w0, h0, INT32_MIN, INT32_MAX, INT32_MIN, INT32_MAX],
+            [w0 * h0, w1, h1, 0, w1 - 1, 0, h1 - 1],
+        ],
+        np.int32,
+    )
+    bank = _pack_paged_bank(tex, desc)
+    pages = -(-P // PAGE_TEXELS)
+    assert bank.shape == (pages * 32, 1024)
+
+    def corner_of(i, corner):
+        if i >= w0 * h0:
+            off, w, h, clamp = w0 * h0, w1, h1, True
+        else:
+            off, w, h, clamp = 0, w0, h0, False
+        y, x = divmod(i - off, w)
+        if corner & 1:
+            x = min(x + 1, w - 1) if clamp else (x + 1) % w
+        if corner & 2:
+            y = min(y + 1, h - 1) if clamp else (y + 1) % h
+        return off + y * w + x
+
+    for i in rng_np.integers(0, P, size=48):
+        p, local = divmod(int(i), PAGE_TEXELS)
+        h, col = divmod(local, 1024)
+        for corner in range(4):
+            j = corner_of(int(i), corner)
+            for c in range(4):
+                assert (
+                    bank[32 * p + 8 * corner + 2 * c + h, col]
+                    == float(tex[j, c])
+                )
+
+
+def _write_paged_scene(path):
+    """Cornell-like box whose walls carry a 64×64 texture (4096 texels —
+    past ONEHOT_MAX_TEXELS, so the scene bakes a PAGED bank) plus the
+    1×1-translucent quad exercising the alpha path."""
+    b = procedural.SceneBuilder()
+    rng_np = np.random.default_rng(42)
+    wall_img = rng_np.integers(40, 255, size=(64, 64, 4), dtype=np.uint8)
+    wall_img[:, :, 3] = 255
+    img_w = b.add_image_png(wall_img.astype(np.uint8))
+    white = b.add_material(
+        base_color_factor=(0.9, 0.9, 0.9, 1),
+        base_color_texture=b.add_texture(img_w),
+    )
+    light = b.add_material(base_color_factor=(0, 0, 0, 1), emissive_factor=(4, 4, 4))
+    img_t = b.add_image_png(np.asarray([[[255, 255, 255, 100]]], np.uint8))
+    glass = b.add_material(
+        base_color_texture=b.add_texture(img_t), alpha_mode="BLEND"
+    )
+    s = 1.0
+    for center, uax, vax, mat in [
+        ((0, -s, 0), (s, 0, 0), (0, 0, -s), white),
+        ((0, s, 0), (s, 0, 0), (0, 0, s), light),
+        ((0, 0, -s), (s, 0, 0), (0, s, 0), white),
+        ((0, 0, 0.2), (0.6, 0, 0), (0, 0.6, 0), glass),
+    ]:
+        p, i, n, t = procedural.quad(center, uax, vax)
+        b.add_mesh_node(p, i, mat, normals=n, texcoords=t)
+    b.add_camera_node((0, 0, 3), (0, 0, 0), yfov=0.8, name="c")
+    return b.write_gltf(path)
+
+
+@pytest.fixture(scope="module")
+def paged_scene_and_rays(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scenes_paged")
+    gltf = load_gltf(_write_paged_scene(d / "p.gltf"))
+    cam = load_camera(gltf, width=32, height=32)
+    geo = load_geometry(gltf)
+    scene = build_device_scene(
+        geo, build_grid(geo.positions, (4, 4, 4)), load_materials(gltf), backend="mxu"
+    )
+    assert scene.color_u16f_t is None, "fixture must exceed the one-hot cap"
+    assert scene.color_paged_t is not None, "fixture must fit the paged cap"
+
+    xs = (np.arange(R) % 32 + 0.37).astype(np.float32)
+    ys = (np.arange(R) // 32 + 0.61).astype(np.float32)
+    dirs = (
+        cam.lower_left_corner
+        + cam.right * xs[:, None]
+        + cam.up * ys[:, None]
+    )
+    dirs = (dirs / np.linalg.norm(dirs, axis=1, keepdims=True)).astype(np.float32)
+    orig = np.tile(cam.origin, (R, 1)).astype(np.float32)
+    return scene, jnp.asarray(orig), jnp.asarray(dirs)
+
+
+def test_paged_shade_matches_gather_path(paged_scene_and_rays):
+    """The paged single-kernel shade must produce the same state as the
+    prep/gather/shade pipeline (itself pinned to the XLA oracle above).
+    Texel values are exact u16 integers on both paths; value rows are
+    compared to f32 tightness (separate kernel programs may contract FMAs
+    differently), structural rows exactly."""
+    scene, orig, direction = paged_scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(7), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    aux, idx_m, rec = trace_emit_aux(
+        scene.mxu, state, rec_table=scene.shade_table_t, interpret=True
+    )
+    assert int(np.isfinite(np.asarray(aux[2])).sum()) > R // 2
+    out_paged = shade_fused(scene, state, aux, idx_m, 1, interpret=True, rec=rec)
+    gather_scene = scene._replace(color_paged_t=None)
+    out_gather = shade_fused(
+        gather_scene, state, aux, idx_m, 1, interpret=True, rec=rec
+    )
+    a, bst = np.asarray(out_paged), np.asarray(out_gather)
+    np.testing.assert_array_equal(
+        a[12:16].view(np.uint32), bst[12:16].view(np.uint32)
+    )
+    np.testing.assert_allclose(a[0:12], bst[0:12], rtol=3e-6, atol=1e-6)
+
+
+def test_paged_dead_rays_stay_dead(paged_scene_and_rays):
+    scene, orig, direction = paged_scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(3), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.zeros(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    aux, tri, rec = trace_emit_aux(
+        scene.mxu, state, rec_table=scene.shade_table_t, interpret=True
+    )
+    new_state = shade_fused(scene, state, aux, tri, 0, interpret=True, rec=rec)
+    assert not bool((new_state[12] > 0).any())
+    np.testing.assert_array_equal(
+        np.asarray(new_state[9:12]), np.zeros((3, R), np.float32)
+    )
+
+
+def test_path_kernel_paged_matches_bounce_composition(paged_scene_and_rays):
+    """Whole-path kernel with the PAGED bank vs per-bounce composition —
+    same contract as the one-hot variant above."""
+    from zig_raytracing_contest_tpu.render.fused import path_trace_fused
+
+    scene, orig, direction = paged_scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(7), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    max_bounce = 3
+    out_mega = path_trace_fused(
+        scene.mxu, state, scene.shade_table_t, scene.color_paged_t,
+        max_bounce, scene.emissive_all_dummy is not None,
+        interpret=True, lane_block=512,
+    )
+    st = state
+    for bounce in range(max_bounce):
+        aux, tri_m, rec = trace_emit_aux(
+            scene.mxu, st, rec_table=scene.shade_table_t, interpret=True
+        )
+        st = shade_fused(scene, st, aux, tri_m, bounce, interpret=True, rec=rec)
+    a = np.asarray(out_mega)
+    bst = np.asarray(st)
+    np.testing.assert_array_equal(
+        a[12:16].view(np.uint32), bst[12:16].view(np.uint32)
+    )
+    np.testing.assert_allclose(a[0:12], bst[0:12], rtol=3e-6, atol=1e-6)
+
+
+def test_paged_scene_end_to_end(tmp_path):
+    """End-to-end render of a paged-bank scene through the production fused
+    pipeline (whole-path kernel with the paged bank, interpret mode on
+    CPU) vs the XLA shading path.  Float reassociation may move a few
+    pixels by >2 LSBs; the images must otherwise agree."""
+    from zig_raytracing_contest_tpu.config import Config
+    from zig_raytracing_contest_tpu.render.pipeline import (
+        prepare_scene,
+        render_scene,
+    )
+
+    p = _write_paged_scene(tmp_path / "p.gltf")
+    cfg = Config(
+        grid_resolution=(4, 4, 4), num_samples=2, max_bounce=3, seed=5,
+        wave_size=2048,
+    )
+    scene, cam, _ = prepare_scene(str(p), cfg, camera_name="c", width=24, height=24)
+    assert scene.color_paged_t is not None
+    img_f, stats_f = render_scene(scene, cam, cfg, use_fused=True)
+    img_x, stats_x = render_scene(scene, cam, cfg, use_fused=False)
+    assert stats_f.segments > 0
+    diff = np.abs(img_f.astype(int) - img_x.astype(int))
+    assert (diff > 2).mean() < 0.02

@@ -334,6 +334,149 @@ def _shade_live(aux_ref, sv, get_texel, state_ref, out_state_ref,
 # (Pp, ONEHOT_CHUNK) one-hot transient (2 MB at the ONEHOT_MAX_TEXELS cap).
 ONEHOT_CHUNK = 512
 
+_PAGE_BIG = 1 << 30  # past any real page id (bank cap is 2^16 texels)
+
+
+def _fetch_paged(bank_ref, idx, demand):
+    """Texel fetch from a CORNER-EXPANDED paged bank
+    (scene/types._pack_paged_bank): page p is the (32, 1024) f32 block at
+    rows [32p, 32p+32), holding 2048 texels' four bilinear corners as
+    row = 8·corner + 2·channel + half (half = in-page texel bit 10),
+    col = texel & 1023.
+
+    ``idx`` holds the BASE-corner texel index per fetched texture (the
+    p11 of _prep_math; one entry for base color, one for emissive); the
+    bank bakes each texel's +x/+y/+xy wrap-mode neighbors alongside it,
+    so ONE (32, 1024) × (1024, CH) one-hot dot per page per texture
+    fetches all four corners × four channels — versus four separate
+    one-hot builds and dots, whose (1024, CH) compare+cast transients
+    dominated the first paged design (measured 10.2 vs 28 Mrays/s on a
+    128² floor).
+
+    Beam-sorted lane blocks are texel-coherent, so instead of one-hotting
+    the whole bank (unaffordable past ~1024 texels) this while-loops over
+    the chunk's DEMANDED pages in ascending order, all textures sharing
+    one loop.  Iteration count = distinct pages demanded by the chunk.
+    Lanes outside ``demand`` (dead or missed) contribute no pages and
+    read 0 — their texels never reach ray state (_shade_live masks every
+    texel-dependent write by alive & ~missed).
+
+    Returns [len(idx)] arrays of (16, B) f32 u16-valued rows, row =
+    4·corner + channel.
+    """
+    n_idx = len(idx)
+    B = demand.shape[0]
+    big = jnp.int32(_PAGE_BIG)
+    out = [[] for _ in range(n_idx)]
+    for c0 in range(0, B, ONEHOT_CHUNK):
+        ch_demand = demand[c0 : c0 + ONEHOT_CHUNK]
+        # One while-loop PER TEXTURE, not a shared loop over the union of
+        # pages: each texture pays only its own distinct pages (emissive
+        # dummies typically all sit in one page, while the union loop
+        # charged every texture a compare+cast+dot on every page).
+        for k in range(n_idx):
+            idx_c = idx[k][c0 : c0 + ONEHOT_CHUNK]
+            pages = jnp.where(ch_demand, idx_c >> 11, big)
+            CH = idx_c.shape[0]
+
+            def next_page(last, pages=pages):
+                return jnp.min(jnp.where(pages > last, pages, big))
+
+            def cond(carry):
+                return carry[0] < big
+
+            def body(carry, idx_c=idx_c, pages=pages, CH=CH,
+                     next_page=next_page):
+                cur, acc = carry
+                s = pl.multiple_of(cur * 32, 32)
+                pg = bank_ref[pl.ds(s, 32), :]  # (32, 1024) one page
+                iota = jax.lax.broadcasted_iota(jnp.int32, (1024, CH), 0)
+                local = idx_c - cur * 2048
+                hit = pages == cur  # == cur ⟹ demanded ∧ in-page
+                col = jnp.where(hit, local & 1023, -1)
+                res = jax.lax.dot_general(
+                    pg,
+                    (iota == col[None, :]).astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (32, CH): res[2r+h] = row r of half h
+                hi = (local >> 10) == 1
+                new_acc = tuple(
+                    jnp.where(
+                        hit,
+                        jnp.where(hi, res[2 * r + 1], res[2 * r]),
+                        acc[r],
+                    )
+                    for r in range(16)
+                )
+                return next_page(cur), new_acc
+
+            zeros = jnp.zeros((CH,), jnp.float32)
+            _, acc = jax.lax.while_loop(
+                cond, body,
+                (next_page(jnp.int32(-1)), tuple(zeros for _ in range(16))),
+            )
+            # 2-D (16, CH) chunk; Mosaic's concatenate can't offset 1-D
+            # lane vectors past the first tile, 2-D axis-1 concat is the
+            # same op the one-hot fetch already compiles.
+            out[k].append(jnp.stack(list(acc)))
+    return [
+        out[k][0] if len(out[k]) == 1 else jnp.concatenate(out[k], axis=1)
+        for k in range(n_idx)
+    ]
+
+
+def _paged_corners(tex16, p11_i, p21_i, p12_i):
+    """Reconcile the bank's baked +x/+y neighbors with the reference's
+    CLAMP-collapsed bilinear corners, per channel, bit-exactly.
+
+    ``tex16`` is one texture's (16, B) corner-expanded fetch.  When
+    _texel_pair collapses an axis (x2 == x1 under clamp — detected as
+    p21 == p11 / p12 == p11 index equality), the oracle's second corner
+    IS the first; selecting the baked neighbor would diverge, so select
+    the collapsed corner instead.  Returns [4][4] rows: corner → channel
+    → (B,) u16-valued f32."""
+    xeq = p21_i == p11_i
+    yeq = p12_i == p11_i
+    c = [[tex16[4 * corner + ch] for ch in range(4)] for corner in range(4)]
+    p11 = c[0]
+    p21 = [jnp.where(xeq, c[0][ch], c[1][ch]) for ch in range(4)]
+    p12 = [jnp.where(yeq, c[0][ch], c[2][ch]) for ch in range(4)]
+    p22 = [
+        jnp.where(
+            xeq,
+            jnp.where(yeq, c[0][ch], c[2][ch]),
+            jnp.where(yeq, c[1][ch], c[3][ch]),
+        )
+        for ch in range(4)
+    ]
+    return [p11, p21, p12, p22]
+
+
+# Whole-path VMEM budget for paged banks: tri_data (≤1.7 MB at the
+# REC_EMIT cap) + shade table (≤3.1 MB) + bank + the (1024, 512) one-hot
+# transient (2 MB) must fit the ~16 MB VMEM with margin.  5 MB covers a
+# full 512×512 RGBA texture (2^18 texels = 4 MB) plus the scene's dummy
+# pages; larger banks still shade single-kernel via the per-bounce
+# pipeline (bank + ray blocks only).
+PATH_PAGED_MAX_BYTES = 5 << 20
+
+
+def resident_bank(scene: DeviceScene, whole_path: bool = False):
+    """The VMEM-resident texel bank for single-kernel shading, or None.
+
+    One-hot (4, Pp) banks always qualify; paged banks
+    (scene/types._pack_paged_bank) qualify for the whole-path kernel only
+    under PATH_PAGED_MAX_BYTES (the per-bounce shade kernel takes any
+    paged bank up to scene/types.PAGED_MAX_TEXELS)."""
+    if scene.color_u16f_t is not None:
+        return scene.color_u16f_t
+    b = scene.color_paged_t
+    if b is not None and whole_path and b.nbytes > PATH_PAGED_MAX_BYTES:
+        return None
+    return b
+
 
 def _shade1_body(rec_ref, aux_ref, state_ref, bank_ref, out_state_ref,
                  bounce: int, emissive_dummy: bool):
@@ -349,6 +492,30 @@ def _shade1_body(rec_ref, aux_ref, state_ref, bank_ref, out_state_ref,
     )
     Pp = bank_ref.shape[1]
     B = rec_ref.shape[1]
+
+    # Bank kind is in the shape: one-hot banks are exactly (4, Pp) channel
+    # rows; paged banks (scene/types._pack_paged_bank) are (32·pages, 1024).
+    if bank_ref.shape[0] != 4:
+        demand = (aux_ref[4, :] > 0.0) & (aux_ref[2, :] < jnp.inf)
+        fetched = _fetch_paged(bank_ref, [idx[0], idx[4]], demand)
+        base_c = _paged_corners(fetched[0], idx[0], idx[1], idx[2])
+        if emissive_dummy:
+            # idx[4] is the dummy's single texel; its corner 0 serves it.
+            emis_c = [[fetched[1][ch] for ch in range(4)]]
+        else:
+            emis_c = _paged_corners(fetched[1], idx[4], idx[5], idx[6])
+        texf = base_c + emis_c
+
+        _shade_live(
+            aux_ref,
+            lambda k: svec[k],
+            lambda i: tuple(texf[i]),
+            state_ref,
+            out_state_ref,
+            bounce,
+            emissive_dummy,
+        )
+        return
 
     def fetch(indices):  # (B,) int32 → (4, B) f32 u16-valued
         chunks = []
@@ -823,8 +990,11 @@ def shade_fused(
     rec = padr(rec)
     aux = padr(aux)
 
-    if scene.color_u16f_t is not None:
-        # Small-bank single-kernel path: zero XLA ops in the bounce.
+    bank = resident_bank(scene)
+    if bank is not None:
+        # Resident-bank single-kernel path: zero XLA ops in the bounce.
+        # One-hot (4, Pp) or paged (32·pages, 1024) — _shade1_body picks
+        # the fetch by bank shape.
         new_state = pl.pallas_call(
             _make_shade1_kernel(bounce, emissive_dummy, block_skip),
             grid=(nb,),
@@ -833,7 +1003,7 @@ def shade_fused(
                 _rspec(8),
                 _rspec(16),
                 pl.BlockSpec(
-                    scene.color_u16f_t.shape,
+                    bank.shape,
                     lambda i: (0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -841,7 +1011,7 @@ def shade_fused(
             out_specs=_rspec(16),
             out_shape=jax.ShapeDtypeStruct((16, Rp), jnp.float32),
             interpret=interpret,
-        )(rec, aux, padr(state), scene.color_u16f_t)
+        )(rec, aux, padr(state), bank)
         return new_state[:, :R]
 
     tex_idx, svec = pl.pallas_call(

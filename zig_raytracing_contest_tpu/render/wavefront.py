@@ -347,13 +347,15 @@ def render_wave(
         )
         sort_rays = scene.mxu.tri_data.shape[1] > SORT_MIN_TRIS
         from ..ops.mxu_intersect import REC_EMIT_MAX_TRIS
+        from .fused import resident_bank
 
+        bank = resident_bank(scene, whole_path=True)
         if (
             # (implied by the REC_EMIT bound — REC_EMIT_MAX_TRIS <
             # SORT_MIN_TRIS — but kept explicit: the path kernel has no
             # between-bounce resort, so it must never take sorted scenes)
             not sort_rays
-            and scene.color_u16f_t is not None
+            and bank is not None
             and scene.shade_table_t is not None
             and scene.mxu.tri_data.shape[1] <= REC_EMIT_MAX_TRIS
         ):
@@ -374,17 +376,17 @@ def render_wave(
             if max_bounce <= 1 or not SORT_AFTER_BOUNCE0:
                 state = path_trace_fused(
                     scene.mxu, state, scene.shade_table_t,
-                    scene.color_u16f_t, max_bounce, ed, interpret=interpret,
+                    bank, max_bounce, ed, interpret=interpret,
                 )
                 return pixel, state[9:12].T, state[14].astype(jnp.int32)
             state = path_trace_fused(
-                scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+                scene.mxu, state, scene.shade_table_t, bank,
                 1, ed, interpret=interpret,
             )
             perm = jnp.argsort(_ray_sort_key(scene, state))
             state = jnp.take(state, perm, axis=1)
             state = path_trace_fused(
-                scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+                scene.mxu, state, scene.shade_table_t, bank,
                 max_bounce - 1, ed, interpret=interpret, bounce0=1,
             )
             inv = jnp.argsort(perm)
@@ -512,12 +514,17 @@ def whole_path_regime(scene: DeviceScene, use_fused: bool | None = None,
 
     if ext is not None and ext.any:
         return False
+    from .fused import resident_bank
+
     if use_fused is None:
         use_fused = scene.mxu is not None and jax.default_backend() == "tpu"
+    # Resident banks only (one-hot, or paged ≤ PAGED_MAX_TEXELS — a few
+    # pages, so the in-kernel page loop stays cheap); bigger-texture
+    # scenes take the per-bounce XLA-gather pipeline.
     return bool(
         use_fused
         and scene.mxu is not None
-        and scene.color_u16f_t is not None
+        and resident_bank(scene, whole_path=True) is not None
         and scene.shade_table_t is not None
         and scene.mxu.tri_data.shape[1] <= REC_EMIT_MAX_TRIS
         and scene.mxu.tri_data.shape[1] <= SORT_MIN_TRIS
@@ -571,7 +578,11 @@ def render_wave_rows(
     mask = slot_lane < slot_cap
 
     if whole_path_regime(scene, use_fused, ext):
-        from .fused import GenParams, path_trace_fused, path_trace_gen
+        from .fused import (
+            GenParams, path_trace_fused, path_trace_gen, resident_bank,
+        )
+
+        bank = resident_bank(scene, whole_path=True)
 
         interpret = jax.default_backend() != "tpu"
         gen = GenParams(
@@ -592,7 +603,7 @@ def render_wave_rows(
         ed = scene.emissive_all_dummy is not None
         do_sort = SORT_AFTER_BOUNCE0 and max_bounce > 1
         state = path_trace_gen(
-            scene.mxu, par, meta, scene.shade_table_t, scene.color_u16f_t,
+            scene.mxu, par, meta, scene.shade_table_t, bank,
             R, 1 if do_sort else max_bounce, ed, gen,
             emit_key=do_sort, interpret=interpret,
         )
@@ -601,7 +612,7 @@ def render_wave_rows(
             perm = jnp.argsort(key)
             state = jnp.take(state, perm, axis=1)
             state = path_trace_fused(
-                scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+                scene.mxu, state, scene.shade_table_t, bank,
                 max_bounce - 1, ed, interpret=interpret, bounce0=1,
             )
             inv = jnp.argsort(perm)

@@ -63,6 +63,75 @@ def _stream_tile(num_triangles: int) -> int:
 # one-hot transient: (Pp, 512) f32 = 2 MB at 1024.
 ONEHOT_MAX_TEXELS = 1024
 
+# Paged in-kernel texel fetch (render/fused.py _fetch_paged): banks past
+# the one-hot budget but within this cap stay VMEM-resident as
+# CORNER-EXPANDED 2048-texel pages; the shade kernels loop over the pages
+# a lane block demands, fetching ALL FOUR bilinear corners of all four
+# channels with ONE one-hot dot per texture.  The cap bounds both the
+# worst-case page loop (32 pages) and bank VMEM ((32·pages, 1024) f32 =
+# 64 B/texel → 4 MB at 2^16; a 256×256 RGBA texture fits exactly).
+# Beyond it the scene takes the per-bounce XLA-gather regime (on-chip
+# A/B: a 512×512 floor at 12.8 Mrays/s gather vs 3.3 with the old
+# one-dot-per-corner pages whose row-major geometry a 32-pixel block
+# footprints dozens of).
+PAGED_MAX_TEXELS = 1 << 16
+PAGE_TEXELS = 2048
+PAGE_ROWS = 32  # 4 corners × 4 channels × 2 halves
+
+
+def _paged_corner_maps(P: int, color_desc: np.ndarray) -> np.ndarray:
+    """(4, P) int64 texel index per bilinear corner of each base texel.
+
+    Corner 0 is the texel itself; 1 its +x neighbor, 2 its +y neighbor,
+    3 both — under the TEXTURE'S OWN wrap mode (repeat: (x+1) mod w;
+    clamp: min(x+1, w-1)), mirroring _texel_pair (render/fused.py): for
+    an in-range base texel the reference's second bilinear texel IS this
+    neighbor on both axes, and the collapsed clamp cases are reconciled
+    in-kernel by index-equality selects (bit-exact)."""
+    from .materials import INT32_MIN
+
+    corners = np.tile(np.arange(P, dtype=np.int64), (4, 1))
+    for off, w, h, u_min, _umax, v_min, _vmax in np.asarray(
+        color_desc, np.int64
+    ):
+        n = w * h
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)
+        nx = (x + 1) % w if u_min == INT32_MIN else np.minimum(x + 1, w - 1)
+        ny = (y + 1) % h if v_min == INT32_MIN else np.minimum(y + 1, h - 1)
+        yy, xx = np.meshgrid(y, x, indexing="ij")
+        nyy, nxx = np.meshgrid(ny, nx, indexing="ij")
+        sl = slice(off, off + n)
+        corners[0, sl] = (off + yy * w + xx).ravel()
+        corners[1, sl] = (off + yy * w + nxx).ravel()
+        corners[2, sl] = (off + nyy * w + xx).ravel()
+        corners[3, sl] = (off + nyy * w + nxx).ravel()
+    return corners
+
+
+def _pack_paged_bank(
+    color_u16: np.ndarray, color_desc: np.ndarray
+) -> np.ndarray:
+    """(P, 4) u16 + descriptors → (pages·32, 1024) f32 u16-VALUED
+    corner-expanded paged bank.
+
+    Page p occupies rows [32p, 32p+32); within a page, row = 8·corner +
+    2·channel + half and column = texel & 1023, where half is bit 10 of
+    the in-page texel index — so slicing one page yields a (32, 1024)
+    block whose single one-hot dot against a (1024, CH) column mask
+    fetches all four corners × four channels × both halves at once
+    (render/fused.py _fetch_paged)."""
+    P = color_u16.shape[0]
+    pages = -(-P // PAGE_TEXELS)
+    corners = _paged_corner_maps(P, color_desc)  # (4, P)
+    a = np.zeros((4, pages * PAGE_TEXELS, 4), np.float32)
+    a[:, :P] = color_u16.astype(np.float32)[corners]  # (4, P, 4)
+    # (corner, p, half, col, c) → (p, corner, c, half, col)
+    a = a.reshape(4, pages, 2, PAGE_TEXELS // 2, 4).transpose(1, 0, 4, 2, 3)
+    return np.ascontiguousarray(
+        a.reshape(pages * PAGE_ROWS, PAGE_TEXELS // 2)
+    )
+
 # shade_table column layout
 COL_NRM = 0  # 9 cols: 3 vertices × xyz (world, normalized)
 COL_UV = 9  # 6 cols: 3 vertices × uv
@@ -137,6 +206,14 @@ class DeviceScene(NamedTuple):
     # shades a bounce in ONE kernel — texel "gathers" become in-kernel
     # one-hot matmuls and no XLA runs between trace and shade.
     color_u16f_t: jnp.ndarray | None = None
+    # Mid-size-bank fast path: (pages·32, 1024) f32 u16-VALUED paged texel
+    # bank (_pack_paged_bank layout).  Present when the bank exceeds the
+    # one-hot budget but fits PAGED_MAX_TEXELS; the fused kernels then
+    # while-loop over a lane block's demanded pages (beam-sorted blocks
+    # touch few), fetching each page with one one-hot dot — real-texture
+    # scenes keep the single-kernel/whole-path regime instead of falling
+    # back to per-bounce XLA gathers (round-2 VERDICT item 3).
+    color_paged_t: jnp.ndarray | None = None
     # Static marker (None vs present IS the flag — pytree structure, so the
     # fused pipeline can branch on it at trace time): present when every
     # material's emissive entry is a 1×1 dummy (factor only), letting the
@@ -293,6 +370,17 @@ def build_device_scene(
             if mxu is not None
             and materials.color_u16 is not None
             and materials.color_u16.shape[0] <= ONEHOT_MAX_TEXELS
+            else None
+        ),
+        color_paged_t=(
+            jnp.asarray(
+                _pack_paged_bank(materials.color_u16, materials.color_desc)
+            )
+            if mxu is not None
+            and materials.color_u16 is not None
+            and ONEHOT_MAX_TEXELS
+            < materials.color_u16.shape[0]
+            <= PAGED_MAX_TEXELS
             else None
         ),
         emissive_all_dummy=(
