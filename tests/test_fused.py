@@ -483,3 +483,47 @@ def test_paged_scene_end_to_end(tmp_path):
     assert stats_f.segments > 0
     diff = np.abs(img_f.astype(int) - img_x.astype(int))
     assert (diff > 2).mean() < 0.02
+
+
+def test_paged_hbm_stream_matches_vmem(paged_scene_and_rays, monkeypatch):
+    """Forcing the bank-residency threshold to 0 sends the paged fetch down
+    the HBM page-stream path (double-buffered DMA into VMEM scratch,
+    fused._fetch_paged hbm branch) — the transport for banks past
+    PAGED_VMEM_MAX_BYTES, e.g. a 512×512 texture's 16 MB corner-expanded
+    bank.  Per-bounce AND whole-path results must be bit-identical to the
+    VMEM-resident paged fetch: same pages, same dots, different transport."""
+    import zig_raytracing_contest_tpu.render.fused as fused_mod
+    from zig_raytracing_contest_tpu.render.fused import path_trace_fused
+
+    scene, orig, direction = paged_scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(7), jnp.arange(R, dtype=jnp.int32))
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)),
+        jnp.ones(R, bool), streams,
+    )
+    aux, idx_m, rec = trace_emit_aux(
+        scene.mxu, state, rec_table=scene.shade_table_t, interpret=True
+    )
+
+    def both():
+        bounce = shade_fused(scene, state, aux, idx_m, 1, interpret=True,
+                             rec=rec)
+        path = path_trace_fused(
+            scene.mxu, state, scene.shade_table_t, scene.color_paged_t,
+            2, scene.emissive_all_dummy is not None,
+            interpret=True, lane_block=512,
+        )
+        return np.asarray(bounce), np.asarray(path)
+
+    assert not fused_mod._bank_hbm(scene.color_paged_t.shape)
+    vmem_bounce, vmem_path = both()
+    try:
+        monkeypatch.setattr(fused_mod, "PAGED_VMEM_MAX_BYTES", 0)
+        jax.clear_caches()  # the jitted entry points must re-trace
+        assert fused_mod._bank_hbm(scene.color_paged_t.shape)
+        hbm_bounce, hbm_path = both()
+    finally:
+        monkeypatch.undo()
+        jax.clear_caches()  # don't leak HBM-traced graphs to later tests
+    np.testing.assert_array_equal(vmem_bounce, hbm_bounce)
+    np.testing.assert_array_equal(vmem_path, hbm_path)

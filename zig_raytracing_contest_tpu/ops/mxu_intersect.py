@@ -441,13 +441,13 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
     ``dot_general``s at ``_TRANSFORM_PRECISION`` — is kept as a measurable
     A/B (flip ``_TRANSFORM_MODE``); the t/u/v/cull tail is VPU either way.
 
-    When ``table_rows``/``rec_ref`` are given (the record-emitting resident
-    kernel), the winner's packed shade record is extracted with ONE one-hot
-    MXU matmul over the already-materialized ``sel`` mask — replacing the
-    XLA (24, R) record gather the profiler showed costing more than the
-    shade kernels themselves.  A one-hot f32 matmul is bit-exact: every
-    output element is 1.0·x + Σ 0.0·y (verified on-chip,
-    tests/test_fused.py)."""
+    When ``table_rows``/``rec_ref`` are given, the winner's packed shade
+    record is extracted per improving tile with a one-hot MXU matmul over
+    the already-materialized ``sel`` mask.  The record-emitting resident
+    kernels no longer use this path — they defer extraction to ONE pass
+    over the winner tiles after traversal (``_extract_winner_records``),
+    which costs a few dots per block instead of one per swept tile; the
+    in-sweep variant is kept for A/B measurement."""
     m = lambda r: rows[r][:, None]  # (Kt, 1) broadcast over lanes
     o_mat = jnp.stack([ox[sl], oy[sl], oz[sl]], axis=0)  # (3, LB)
     d_mat = jnp.stack([dx[sl], dy[sl], dz[sl]], axis=0)  # (3, LB)
@@ -533,6 +533,59 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
             precision=jax.lax.Precision.HIGHEST,
         )  # (24, LB)
         rec_ref[:, sl] = jnp.where(better[None, :], tile_rec, rec_ref[:, sl])
+
+
+def _extract_winner_records(table_ref, aux_ref, idx_ref, rec_ref, tile: int):
+    """Post-traversal winner-record extraction: one one-hot MXU dot per
+    tile that actually CONTAINS a winner, instead of one per swept tile.
+
+    The sweep already left the global winner id in ``idx_ref[0]`` and the
+    winning t in ``aux_ref[2]``; a lane block's winners cluster in a few
+    BVH-adjacent tiles (the block is a sorted beam), so looping
+    [min, max] winner tile with an any-lane presence gate replaces the
+    ~10-100 in-sweep dots with ~1-4.  The dot itself is identical to the
+    in-sweep variant — (24, Kt) · one-hot (Kt, LB) at HIGHEST, bit-exact
+    reconstruction (scripts/check_onehot_tpu.py) — and the final value is
+    the same: the last improving tile IS the winner's tile.
+
+    Miss lanes (t = inf) select no column and keep the zero-initialized
+    record; all-miss blocks skip the loop entirely (lo > hi)."""
+    assert tile & (tile - 1) == 0, "tile must be a power of two"
+    shift = tile.bit_length() - 1
+    lb = idx_ref.shape[1]
+    hit = aux_ref[2, :] < INF
+    win = idx_ref[0, :]
+    wt = jax.lax.shift_right_logical(win, shift)
+    big = jnp.int32(1 << 30)
+    wt_hit = jnp.where(hit, wt, big)
+    lo = jnp.min(wt_hit)
+    hi = jnp.max(jnp.where(hit, wt, -1))
+
+    def tile_body(jt, _):
+        present = jnp.any(wt_hit == jt)
+
+        @pl.when(present)
+        def _():
+            s = pl.multiple_of(jt * tile, tile)
+            col = jnp.where(wt_hit == jt, win - jt * tile, -1)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (tile, lb), 0)
+                == col[None, :]
+            ).astype(jnp.float32)
+            tile_rec = jax.lax.dot_general(
+                table_ref[:, pl.ds(s, tile)],
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (24, LB)
+            rec_ref[:, :] = jnp.where(
+                (wt_hit == jt)[None, :], tile_rec, rec_ref[:, :]
+            )
+
+        return 0
+
+    jax.lax.fori_loop(lo, hi + 1, tile_body, 0)
 
 
 def _init_trace_refs(state_ref, aux_ref, idx_ref):
@@ -723,6 +776,12 @@ SUBBLOCK_SWEEP = 1
 # Measured on the 100k bench: 3.91 → 4.09 Mrays/s.  The whole-path kernel
 # shades in-kernel and always extracts (render/fused.py forces it).
 EXTRACT_UV_IN_KERNEL = False
+# When True (production), the rec-emit kernels extract the winner's packed
+# shade record ONCE per winner tile after traversal instead of once per
+# swept tile (_extract_winner_records): a sorted beam's winners cluster in
+# a few BVH-adjacent tiles, so ~1-4 one-hot dots replace one per swept
+# tile plus its (Kt, LB) sel compare+cast.  False = in-sweep A/B variant.
+REC_EMIT_DEFERRED = True
 # DFS stack bound for the OCTAL traversal: each expansion pushes at most
 # 8 children and descends one octal level, so worst-case depth is
 # 8 · ceil(log2(P2)/3) + roots — 54 at P2 = 2^17 (the largest heap the
@@ -741,6 +800,11 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
     o, d, inv, active = _init_trace_refs(state_ref, aux_ref, idx_ref)
     if rec_ref is not None:
         rec_ref[:, :] = jnp.zeros(rec_ref.shape, jnp.float32)
+    # Record emission is deferred out of the sweep (one dot per WINNER
+    # tile after traversal, _extract_winner_records) unless the in-sweep
+    # A/B variant is forced.
+    sweep_table = table_ref if not REC_EMIT_DEFERRED else None
+    sweep_rec = rec_ref if not REC_EMIT_DEFERRED else None
 
     if extract_uv is None:
         extract_uv = EXTRACT_UV_IN_KERNEL
@@ -753,7 +817,8 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
         s = pl.multiple_of(jt * tile, tile)
         rows = tri_ref[:, pl.ds(s, tile)]  # (13, Kt)
         table_rows = (
-            table_ref[:, pl.ds(s, tile)] if table_ref is not None else None
+            sweep_table[:, pl.ds(s, tile)] if sweep_table is not None
+            else None
         )
         if SUBBLOCK_SWEEP > 1:
             lb = aux_ref.shape[1]
@@ -773,14 +838,14 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
                     _tile_update(
                         rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
                         aux_ref, idx_ref, sl=sl, table_rows=table_rows,
-                        rec_ref=rec_ref, extract_uv=extract_uv,
+                        rec_ref=sweep_rec, extract_uv=extract_uv,
                     )
             return
         _tile_update(
             rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
             aux_ref, idx_ref,
             table_rows=table_rows,
-            rec_ref=rec_ref,
+            rec_ref=sweep_rec,
             extract_uv=extract_uv,
         )
 
@@ -792,38 +857,44 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
         def _():
             sweep_tile(jt)
 
-    if (
-        tree_ref is not None
-        and stack_ref is not None
-        and num_tiles >= TREE_MIN_TILES
-    ):
-        # The traversal's own child test IS the tile cull (leaf box =
-        # tile box), so leaves sweep directly.
-        _tree_traverse(
-            tree_ref, stack_ref, o, inv, active, aux_ref,
-            lambda jt, real: sweep_tile(jt), num_tiles,
+    def traverse():
+        if (
+            tree_ref is not None
+            and stack_ref is not None
+            and num_tiles >= TREE_MIN_TILES
+        ):
+            # The traversal's own child test IS the tile cull (leaf box =
+            # tile box), so leaves sweep directly.
+            _tree_traverse(
+                tree_ref, stack_ref, o, inv, active, aux_ref,
+                lambda jt, real: sweep_tile(jt), num_tiles,
+            )
+            return
+
+        if num_groups < F2B_MIN_GROUPS:
+            def tile_body(jt, _):
+                visit_tile(jt, True)
+                return 0
+
+            jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+            return
+
+        def process_group(g):
+            def tile_body(jg, _):
+                jt = g * group_tiles + jg
+                visit_tile(jt, jt < num_tiles)
+                return 0
+
+            jax.lax.fori_loop(0, group_tiles, tile_body, 0)
+
+        _front_to_back_groups(
+            gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref,
+            process_group,
         )
-        return
 
-    if num_groups < F2B_MIN_GROUPS:
-        def tile_body(jt, _):
-            visit_tile(jt, True)
-            return 0
-
-        jax.lax.fori_loop(0, num_tiles, tile_body, 0)
-        return
-
-    def process_group(g):
-        def tile_body(jg, _):
-            jt = g * group_tiles + jg
-            visit_tile(jt, jt < num_tiles)
-            return 0
-
-        jax.lax.fori_loop(0, group_tiles, tile_body, 0)
-
-    _front_to_back_groups(
-        gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref, process_group
-    )
+    traverse()
+    if rec_ref is not None and REC_EMIT_DEFERRED:
+        _extract_winner_records(table_ref, aux_ref, idx_ref, rec_ref, tile)
 
 
 def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,

@@ -334,7 +334,26 @@ def _shade_live(aux_ref, sv, get_texel, state_ref, out_state_ref,
 # (Pp, ONEHOT_CHUNK) one-hot transient (2 MB at the ONEHOT_MAX_TEXELS cap).
 ONEHOT_CHUNK = 512
 
-_PAGE_BIG = 1 << 30  # past any real page id (bank cap is 2^16 texels)
+_PAGE_BIG = 1 << 30  # past any real page id (bank cap is PAGED_MAX_TEXELS)
+
+# Paged banks at or under this stay VMEM-resident (direct in-kernel page
+# slices); bigger banks live in HBM and the fetch loop DMAs each demanded
+# (32, 1024) page into a double-buffered VMEM scratch — the same
+# cull-gated streaming the trace kernel uses for triangle tiles
+# (ops/mxu_intersect._trace_kernel_t_hbm_body).  4 MB = 2^16 texels at
+# the corner-expanded 64 B/texel; the whole-path kernel's other residents
+# (tri_data ≤1.7 MB + shade table ≤3.1 MB + one-hot transient 2 MB) still
+# fit beside it in ~16 MB VMEM.
+PAGED_VMEM_MAX_BYTES = 4 << 20
+
+
+def _bank_hbm(shape) -> bool:
+    """Whether a texel bank of this static shape lives in HBM (streamed
+    per-page by DMA) rather than VMEM.  Call sites pick the BlockSpec
+    memory space and the kernels pick the fetch path from the SAME static
+    rule, so they can never disagree."""
+    rows, cols = shape
+    return rows != 4 and rows * cols * 4 > PAGED_VMEM_MAX_BYTES
 
 
 def _fetch_paged(bank_ref, idx, demand):
@@ -367,6 +386,7 @@ def _fetch_paged(bank_ref, idx, demand):
     n_idx = len(idx)
     B = demand.shape[0]
     big = jnp.int32(_PAGE_BIG)
+    hbm = _bank_hbm(bank_ref.shape)
     out = [[] for _ in range(n_idx)]
     for c0 in range(0, B, ONEHOT_CHUNK):
         ch_demand = demand[c0 : c0 + ONEHOT_CHUNK]
@@ -382,14 +402,7 @@ def _fetch_paged(bank_ref, idx, demand):
             def next_page(last, pages=pages):
                 return jnp.min(jnp.where(pages > last, pages, big))
 
-            def cond(carry):
-                return carry[0] < big
-
-            def body(carry, idx_c=idx_c, pages=pages, CH=CH,
-                     next_page=next_page):
-                cur, acc = carry
-                s = pl.multiple_of(cur * 32, 32)
-                pg = bank_ref[pl.ds(s, 32), :]  # (32, 1024) one page
+            def accumulate(cur, acc, pg, idx_c=idx_c, pages=pages, CH=CH):
                 iota = jax.lax.broadcasted_iota(jnp.int32, (1024, CH), 0)
                 local = idx_c - cur * 2048
                 hit = pages == cur  # == cur ⟹ demanded ∧ in-page
@@ -402,7 +415,7 @@ def _fetch_paged(bank_ref, idx, demand):
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (32, CH): res[2r+h] = row r of half h
                 hi = (local >> 10) == 1
-                new_acc = tuple(
+                return tuple(
                     jnp.where(
                         hit,
                         jnp.where(hi, res[2 * r + 1], res[2 * r]),
@@ -410,13 +423,68 @@ def _fetch_paged(bank_ref, idx, demand):
                     )
                     for r in range(16)
                 )
-                return next_page(cur), new_acc
 
-            zeros = jnp.zeros((CH,), jnp.float32)
-            _, acc = jax.lax.while_loop(
-                cond, body,
-                (next_page(jnp.int32(-1)), tuple(zeros for _ in range(16))),
-            )
+            zeros = tuple(jnp.zeros((CH,), jnp.float32) for _ in range(16))
+
+            if not hbm:
+                def cond(carry):
+                    return carry[0] < big
+
+                def body(carry, next_page=next_page, accumulate=accumulate):
+                    cur, acc = carry
+                    s = pl.multiple_of(cur * 32, 32)
+                    pg = bank_ref[pl.ds(s, 32), :]  # (32, 1024) one page
+                    return next_page(cur), accumulate(cur, acc, pg)
+
+                _, acc = jax.lax.while_loop(
+                    cond, body, (next_page(jnp.int32(-1)), zeros),
+                )
+            else:
+                # HBM bank: stream each demanded page through a
+                # double-buffered VMEM scratch so page j+1's copy overlaps
+                # page j's one-hot dot (mirrors the trace kernel's
+                # tile-stream, ops/mxu_intersect.py:976-1006).
+                def scoped(scratch, sems, next_page=next_page,
+                           accumulate=accumulate, zeros=zeros):
+                    def get_dma(slot, page):
+                        s = pl.multiple_of(page * 32, 32)
+                        return pltpu.make_async_copy(
+                            bank_ref.at[pl.ds(s, 32), :],
+                            scratch.at[slot],
+                            sems.at[slot],
+                        )
+
+                    def cond(carry):
+                        return carry[0] < big
+
+                    def body(carry):
+                        cur, slot, acc = carry
+                        nxt = next_page(cur)
+
+                        @pl.when(nxt < big)
+                        def _():
+                            get_dma(1 - slot, nxt).start()
+
+                        get_dma(slot, cur).wait()
+                        acc = accumulate(cur, acc, scratch[slot])
+                        return nxt, 1 - slot, acc
+
+                    first = next_page(jnp.int32(-1))
+
+                    @pl.when(first < big)
+                    def _():
+                        get_dma(jnp.int32(0), first).start()
+
+                    _, _, acc = jax.lax.while_loop(
+                        cond, body, (first, jnp.int32(0), zeros),
+                    )
+                    return acc
+
+                acc = pl.run_scoped(
+                    scoped,
+                    scratch=pltpu.VMEM((2, 32, 1024), jnp.float32),
+                    sems=pltpu.SemaphoreType.DMA((2,)),
+                )
             # 2-D (16, CH) chunk; Mosaic's concatenate can't offset 1-D
             # lane vectors past the first tile, 2-D axis-1 concat is the
             # same op the one-hot fetch already compiles.
@@ -454,28 +522,28 @@ def _paged_corners(tex16, p11_i, p21_i, p12_i):
     return [p11, p21, p12, p22]
 
 
-# Whole-path VMEM budget for paged banks: tri_data (≤1.7 MB at the
-# REC_EMIT cap) + shade table (≤3.1 MB) + bank + the (1024, 512) one-hot
-# transient (2 MB) must fit the ~16 MB VMEM with margin.  5 MB covers a
-# full 512×512 RGBA texture (2^18 texels = 4 MB) plus the scene's dummy
-# pages; larger banks still shade single-kernel via the per-bounce
-# pipeline (bank + ray blocks only).
-PATH_PAGED_MAX_BYTES = 5 << 20
-
-
 def resident_bank(scene: DeviceScene, whole_path: bool = False):
-    """The VMEM-resident texel bank for single-kernel shading, or None.
+    """The texel bank for single-kernel shading, or None.
 
-    One-hot (4, Pp) banks always qualify; paged banks
-    (scene/types._pack_paged_bank) qualify for the whole-path kernel only
-    under PATH_PAGED_MAX_BYTES (the per-bounce shade kernel takes any
-    paged bank up to scene/types.PAGED_MAX_TEXELS)."""
+    One-hot (4, Pp) banks and paged banks (scene/types._pack_paged_bank)
+    both qualify for every single-kernel regime: banks over
+    PAGED_VMEM_MAX_BYTES live in HBM and stream demanded pages by DMA
+    (_fetch_paged), costing only a 2-page VMEM scratch — so bank size no
+    longer forces the per-bounce XLA-gather pipeline."""
+    del whole_path  # bank size no longer restricts the whole-path kernel
     if scene.color_u16f_t is not None:
         return scene.color_u16f_t
-    b = scene.color_paged_t
-    if b is not None and whole_path and b.nbytes > PATH_PAGED_MAX_BYTES:
-        return None
-    return b
+    return scene.color_paged_t
+
+
+def _bank_spec(bank):
+    """Full-shape BlockSpec for a texel bank, in the memory space the
+    kernels' static `_bank_hbm` rule expects."""
+    return pl.BlockSpec(
+        bank.shape,
+        lambda i: (0, 0),
+        memory_space=pl.ANY if _bank_hbm(bank.shape) else pltpu.VMEM,
+    )
 
 
 def _shade1_body(rec_ref, aux_ref, state_ref, bank_ref, out_state_ref,
@@ -871,8 +939,7 @@ def path_trace_gen(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(rec_table.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(bank.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            _bank_spec(bank),
         ],
         out_specs=pl.BlockSpec((16, lane_block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -933,8 +1000,7 @@ def path_trace_fused(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(rec_table.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(bank.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            _bank_spec(bank),
         ],
         out_specs=pl.BlockSpec((16, lane_block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -1002,11 +1068,7 @@ def shade_fused(
                 _rspec(PACKED_COLS),
                 _rspec(8),
                 _rspec(16),
-                pl.BlockSpec(
-                    bank.shape,
-                    lambda i: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                _bank_spec(bank),
             ],
             out_specs=_rspec(16),
             out_shape=jax.ShapeDtypeStruct((16, Rp), jnp.float32),

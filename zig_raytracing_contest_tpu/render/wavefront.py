@@ -518,9 +518,9 @@ def whole_path_regime(scene: DeviceScene, use_fused: bool | None = None,
 
     if use_fused is None:
         use_fused = scene.mxu is not None and jax.default_backend() == "tpu"
-    # Resident banks only (one-hot, or paged ≤ PAGED_MAX_TEXELS — a few
-    # pages, so the in-kernel page loop stays cheap); bigger-texture
-    # scenes take the per-bounce XLA-gather pipeline.
+    # Any single-kernel bank qualifies: one-hot, VMEM-paged, or HBM-paged
+    # (demanded pages DMA-streamed in-kernel); only scenes past
+    # PAGED_MAX_TEXELS fall to the per-bounce XLA-gather pipeline.
     return bool(
         use_fused
         and scene.mxu is not None

@@ -64,17 +64,17 @@ def _stream_tile(num_triangles: int) -> int:
 ONEHOT_MAX_TEXELS = 1024
 
 # Paged in-kernel texel fetch (render/fused.py _fetch_paged): banks past
-# the one-hot budget but within this cap stay VMEM-resident as
-# CORNER-EXPANDED 2048-texel pages; the shade kernels loop over the pages
-# a lane block demands, fetching ALL FOUR bilinear corners of all four
-# channels with ONE one-hot dot per texture.  The cap bounds both the
-# worst-case page loop (32 pages) and bank VMEM ((32·pages, 1024) f32 =
-# 64 B/texel → 4 MB at 2^16; a 256×256 RGBA texture fits exactly).
-# Beyond it the scene takes the per-bounce XLA-gather regime (on-chip
-# A/B: a 512×512 floor at 12.8 Mrays/s gather vs 3.3 with the old
-# one-dot-per-corner pages whose row-major geometry a 32-pixel block
-# footprints dozens of).
-PAGED_MAX_TEXELS = 1 << 16
+# the one-hot budget but within this cap are baked as CORNER-EXPANDED
+# 2048-texel pages; the shade kernels loop over the pages a lane block
+# demands, fetching ALL FOUR bilinear corners of all four channels with
+# ONE one-hot dot per texture.  Banks ≤ 4 MB (2^16 texels at the 64 B/
+# texel expansion — a 256×256 RGBA texture exactly) stay VMEM-resident;
+# bigger ones live in HBM and each demanded page is DMA'd through a
+# double-buffered VMEM scratch (fused.PAGED_VMEM_MAX_BYTES), so a
+# 512×512–1024×1024-textured scene keeps the single-kernel shade regime.
+# The cap bounds bake cost and HBM (64 MB at 2^20); beyond it the scene
+# takes the per-bounce XLA-gather regime.
+PAGED_MAX_TEXELS = 1 << 20
 PAGE_TEXELS = 2048
 PAGE_ROWS = 32  # 4 corners × 4 channels × 2 halves
 
