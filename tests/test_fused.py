@@ -527,3 +527,68 @@ def test_paged_hbm_stream_matches_vmem(paged_scene_and_rays, monkeypatch):
         jax.clear_caches()  # don't leak HBM-traced graphs to later tests
     np.testing.assert_array_equal(vmem_bounce, hbm_bounce)
     np.testing.assert_array_equal(vmem_path, hbm_path)
+
+
+def test_hbm_table_rec_emit_matches_vmem(scene_and_rays, monkeypatch):
+    """Forcing the VMEM-table threshold to 0 sends the rec-emit kernel down
+    the HBM-table path (winner-tile (24, tile) slices DMA'd on demand,
+    mxu_intersect._extract_winner_records table_hbm) — the transport that
+    lifts in-kernel record emission past REC_EMIT_MAX_TRIS to every
+    resident scene, e.g. the 100k-triangle bench.  aux, winner ids, and
+    records must be bit-identical to the VMEM-resident table path."""
+    from zig_raytracing_contest_tpu.ops import mxu_intersect as mi
+
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(13), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    aux_a, idx_a, rec_a = trace_emit_aux(
+        scene.mxu, state, rec_table=scene.shade_table_t, interpret=True
+    )
+    assert rec_a is not None
+    monkeypatch.setattr(mi, "REC_EMIT_MAX_TRIS", 0)  # force the HBM table
+    trace_emit_aux._clear_cache()
+    try:
+        aux_b, idx_b, rec_b = trace_emit_aux(
+            scene.mxu, state, rec_table=scene.shade_table_t, interpret=True
+        )
+    finally:
+        trace_emit_aux._clear_cache()
+    assert rec_b is not None
+    np.testing.assert_array_equal(np.asarray(aux_a[:5]), np.asarray(aux_b[:5]))
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    np.testing.assert_array_equal(np.asarray(rec_a), np.asarray(rec_b))
+
+
+def test_streaming_rec_emit_matches_resident(scene_and_rays, monkeypatch):
+    """The streaming kernel (forced via the VMEM threshold) must emit the
+    SAME records, u/v, winner ids, and t as the resident rec-emit kernel:
+    the deferred extraction DMAs both the table and bank winner-tile
+    slices (mxu_intersect._extract_winner_records tri_hbm) — this is what
+    gives 500k-2M-triangle scenes in-kernel record emission."""
+    from zig_raytracing_contest_tpu.ops import mxu_intersect as mi
+
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(17), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    aux_a, idx_a, rec_a = trace_emit_aux(
+        scene.mxu, state, rec_table=scene.shade_table_t, interpret=True
+    )
+    assert rec_a is not None
+    monkeypatch.setattr(mi, "VMEM_RESIDENT_MAX_TRIS", 0)  # force streaming
+    trace_emit_aux._clear_cache()
+    try:
+        aux_b, idx_b, rec_b = trace_emit_aux(
+            scene.mxu, state, rec_table=scene.shade_table_t, interpret=True
+        )
+    finally:
+        trace_emit_aux._clear_cache()
+    assert rec_b is not None
+    np.testing.assert_array_equal(np.asarray(aux_a[:5]), np.asarray(aux_b[:5]))
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    np.testing.assert_array_equal(np.asarray(rec_a), np.asarray(rec_b))

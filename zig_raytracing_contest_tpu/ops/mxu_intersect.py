@@ -499,93 +499,200 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
     )
     t = jnp.where(ok, t, INF)
     tile_min = jnp.min(t, axis=0)  # (LB,)
-    ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-    cand = jnp.min(jnp.where(t <= tile_min[None, :], ids, Tp), axis=0)
     best_t = aux_ref[2, sl]
     better = tile_min < best_t
-    aux_ref[2, sl] = jnp.where(better, tile_min, best_t)
-    if extract_uv or rec_ref is not None:
-        sel = ids == cand[None, :]
-    if extract_uv:
-        # Per-tile winner u/v extraction: two (Kt, LB) masked reduces per
-        # sweep.  Callers that recompute u/v once per bounce from the
-        # winner's transform rows (recompute_uv — bit-exact by shared op
-        # order) skip this; aux rows 0/1 then stay 0.
-        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
-        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
-        aux_ref[0, sl] = jnp.where(better, u_sel, aux_ref[0, sl])
-        aux_ref[1, sl] = jnp.where(better, v_sel, aux_ref[1, sl])
-    idx_ref[0, sl] = jnp.where(better, s + cand, idx_ref[0, sl])
     # Diagnostic: tiles actually swept by this lane's block (aux row 5 is
     # otherwise unused; ~free — one vector add per executed tile update).
     # scripts/cull_stats.py reads it to measure cull efficiency per bounce.
     aux_ref[5, sl] = aux_ref[5, sl] + 1.0
-    if rec_ref is not None:
-        # (24, Kt) · one-hot (Kt, LB) on the MXU → the winner's record.
-        tile_rec = jax.lax.dot_general(
-            table_rows,
-            sel.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # HIGHEST (3-term bf16 split) makes 1.0·x reconstruct all 24
-            # mantissa bits — bit-exact one-hot extraction (verified
-            # on-chip, scripts/check_onehot_tpu.py).
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (24, LB)
-        rec_ref[:, sl] = jnp.where(better[None, :], tile_rec, rec_ref[:, sl])
+
+    def fold_winners():
+        ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        cand = jnp.min(jnp.where(t <= tile_min[None, :], ids, Tp), axis=0)
+        aux_ref[2, sl] = jnp.where(better, tile_min, best_t)
+        if extract_uv or rec_ref is not None:
+            sel = ids == cand[None, :]
+        if extract_uv:
+            # Per-tile winner u/v extraction: two (Kt, LB) masked reduces
+            # per sweep.  Callers that recompute u/v once per bounce from
+            # the winner's transform rows (recompute_uv — bit-exact by
+            # shared op order) skip this; aux rows 0/1 then stay 0.
+            u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+            v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+            aux_ref[0, sl] = jnp.where(better, u_sel, aux_ref[0, sl])
+            aux_ref[1, sl] = jnp.where(better, v_sel, aux_ref[1, sl])
+        idx_ref[0, sl] = jnp.where(better, s + cand, idx_ref[0, sl])
+        if rec_ref is not None:
+            # (24, Kt) · one-hot (Kt, LB) on the MXU → the winner's record.
+            tile_rec = jax.lax.dot_general(
+                table_rows,
+                sel.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                # HIGHEST (3-term bf16 split) makes 1.0·x reconstruct all
+                # 24 mantissa bits — bit-exact one-hot extraction (verified
+                # on-chip, scripts/check_onehot_tpu.py).
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (24, LB)
+            rec_ref[:, sl] = jnp.where(
+                better[None, :], tile_rec, rec_ref[:, sl]
+            )
+
+    if GATE_WINNER_EXTRACT:
+        # Winner folding (iota + candidate min-reduce + ref writes, ~10%
+        # of the sweep's vector ops) runs only when SOME lane improved —
+        # with front-to-back/tree traversal most later sweeps don't.  The
+        # non-improving case writes nothing, so skipping is exact.
+        @pl.when(jnp.any(better))
+        def _():
+            fold_winners()
+    else:
+        fold_winners()
 
 
-def _extract_winner_records(table_ref, aux_ref, idx_ref, rec_ref, tile: int):
+def _extract_winner_records(table_ref, aux_ref, idx_ref, rec_ref, tile: int,
+                            tri_ref=None, o=None, d=None,
+                            table_hbm: bool = False,
+                            tri_hbm: bool = False):
     """Post-traversal winner-record extraction: one one-hot MXU dot per
     tile that actually CONTAINS a winner, instead of one per swept tile.
 
     The sweep already left the global winner id in ``idx_ref[0]`` and the
     winning t in ``aux_ref[2]``; a lane block's winners cluster in a few
-    BVH-adjacent tiles (the block is a sorted beam), so looping
-    [min, max] winner tile with an any-lane presence gate replaces the
-    ~10-100 in-sweep dots with ~1-4.  The dot itself is identical to the
+    BVH-adjacent tiles (the block is a sorted beam), so walking the
+    distinct winner tiles replaces the ~10-100 in-sweep dots with ~1-4.
+    The dot itself is identical to the
     in-sweep variant — (24, Kt) · one-hot (Kt, LB) at HIGHEST, bit-exact
     reconstruction (scripts/check_onehot_tpu.py) — and the final value is
     the same: the last improving tile IS the winner's tile.
 
+    When ``tri_ref``/``o``/``d`` are given, the winner's TRANSFORM rows
+    ride the same one-hot (a second dot per winner tile) and the winner's
+    u/v are recomputed into aux rows 0/1 after the walk — the in-kernel
+    twin of ``recompute_uv``: identical FMA order and identical winning t,
+    so the barycentrics are bit-exact vs the in-sweep extraction, while
+    the sweeps skip their two masked (Kt, LB) u/v reduces entirely.
+
     Miss lanes (t = inf) select no column and keep the zero-initialized
-    record; all-miss blocks skip the loop entirely (lo > hi)."""
+    record (and u = v = 0); all-miss blocks skip the loop entirely (no
+    tile < big).  The loop steps DISTINCT winner tiles (next = min tile id
+    above the current one, the same walk as fused._fetch_paged's page
+    loop), so iteration count equals the number of distinct winner tiles
+    — a stray lane far from the beam costs ONE extra iteration, not a
+    scan of the id range.
+
+    ``table_hbm``: the shade table lives in HBM (scenes past
+    REC_EMIT_MAX_TRIS, where a resident (24, Tp) table would not fit VMEM
+    beside the bank) and each winner tile's (24, tile) slice — ~12 KB —
+    is DMA'd into a VMEM scratch before its dot, overlapped with the
+    tri-row dot.  This is what lifts in-kernel record emission from 2^15
+    to every VMEM-resident scene: only 1-4 winner tiles per block move,
+    vs the per-bounce (24, R) XLA record gather they replace.
+
+    ``tri_hbm``: the transform bank ALSO lives in HBM (the streaming
+    regime, > VMEM_RESIDENT_MAX_TRIS); the winner tile's (16, tile) bank
+    slice is DMA'd the same way for the u/v dot, so even 500k-2M-triangle
+    scenes emit records and exact u/v in-kernel."""
     assert tile & (tile - 1) == 0, "tile must be a power of two"
     shift = tile.bit_length() - 1
     lb = idx_ref.shape[1]
-    hit = aux_ref[2, :] < INF
+    t_win = aux_ref[2, :]
+    hit = t_win < INF
     win = idx_ref[0, :]
-    wt = jax.lax.shift_right_logical(win, shift)
     big = jnp.int32(1 << 30)
-    wt_hit = jnp.where(hit, wt, big)
-    lo = jnp.min(wt_hit)
-    hi = jnp.max(jnp.where(hit, wt, -1))
+    wt_hit = jnp.where(hit, jax.lax.shift_right_logical(win, shift), big)
+    do_uv = tri_ref is not None
 
-    def tile_body(jt, _):
-        present = jnp.any(wt_hit == jt)
+    def next_tile(last):
+        return jnp.min(jnp.where(wt_hit > last, wt_hit, big))
 
-        @pl.when(present)
-        def _():
+    def cond(carry):
+        return carry[0] < big
+
+    def walk(tsc=None, tsem=None, rsc=None, rsem=None):
+        def body(carry):
+            jt, rows = carry
             s = pl.multiple_of(jt * tile, tile)
+            if table_hbm:
+                cp = pltpu.make_async_copy(
+                    table_ref.at[:, pl.ds(s, tile)], tsc, tsem
+                )
+                cp.start()
+            if tri_hbm:
+                cpr = pltpu.make_async_copy(
+                    tri_ref.at[:, pl.ds(s, tile)], rsc, rsem
+                )
+                cpr.start()
             col = jnp.where(wt_hit == jt, win - jt * tile, -1)
             onehot = (
                 jax.lax.broadcasted_iota(jnp.int32, (tile, lb), 0)
                 == col[None, :]
             ).astype(jnp.float32)
+            dn = (((1,), (0,)), ((), ()))
+            if do_uv:
+                # Tri-row dot first: for a VMEM bank it overlaps the table
+                # slice's copy; an HBM bank waits its own slice here.
+                if tri_hbm:
+                    cpr.wait()
+                    trows = rsc[:, :]
+                else:
+                    trows = tri_ref[:, pl.ds(s, tile)]
+                tile_rows = jax.lax.dot_general(
+                    trows,  # rows 0-5, 9, 10 used below
+                    onehot,
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (16, LB)
+                rows = jnp.where((wt_hit == jt)[None, :], tile_rows, rows)
+            if table_hbm:
+                cp.wait()
+                tbl = tsc[:, :]
+            else:
+                tbl = table_ref[:, pl.ds(s, tile)]
             tile_rec = jax.lax.dot_general(
-                table_ref[:, pl.ds(s, tile)],
+                tbl,
                 onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (24, LB)
             rec_ref[:, :] = jnp.where(
                 (wt_hit == jt)[None, :], tile_rec, rec_ref[:, :]
             )
+            return next_tile(jt), rows
 
-        return 0
+        rows0 = (
+            jnp.zeros((16, lb), jnp.float32) if do_uv
+            else jnp.zeros((1, lb), jnp.float32)
+        )
+        _, rows = jax.lax.while_loop(
+            cond, body, (next_tile(jnp.int32(-1)), rows0)
+        )
+        return rows
 
-    jax.lax.fori_loop(lo, hi + 1, tile_body, 0)
+    if table_hbm or tri_hbm:
+        scopes = {}
+        if table_hbm:
+            scopes["tsc"] = pltpu.VMEM(
+                (table_ref.shape[0], tile), jnp.float32
+            )
+            scopes["tsem"] = pltpu.SemaphoreType.DMA
+        if tri_hbm:
+            scopes["rsc"] = pltpu.VMEM((tri_ref.shape[0], tile), jnp.float32)
+            scopes["rsem"] = pltpu.SemaphoreType.DMA
+        rows = pl.run_scoped(walk, **scopes)
+    else:
+        rows = walk()
+    if do_uv:
+        # Same FMA order as _tile_update's VPU path / recompute_uv, with
+        # the winner's own t — bit-exact barycentrics.
+        ou = rows[0] * o[0] + rows[1] * o[1] + rows[2] * o[2] + rows[9]
+        ov = rows[3] * o[0] + rows[4] * o[1] + rows[5] * o[2] + rows[10]
+        du = rows[0] * d[0] + rows[1] * d[1] + rows[2] * d[2]
+        dv = rows[3] * d[0] + rows[4] * d[1] + rows[5] * d[2]
+        aux_ref[0, :] = jnp.where(hit, ou + t_win * du, 0.0)
+        aux_ref[1, :] = jnp.where(hit, ov + t_win * dv, 0.0)
 
 
 def _init_trace_refs(state_ref, aux_ref, idx_ref):
@@ -782,6 +889,13 @@ EXTRACT_UV_IN_KERNEL = False
 # a few BVH-adjacent tiles, so ~1-4 one-hot dots replace one per swept
 # tile plus its (Kt, LB) sel compare+cast.  False = in-sweep A/B variant.
 REC_EMIT_DEFERRED = True
+# When True (production), each tile sweep folds its winners (iota +
+# candidate min-reduce + best-t/idx/rec ref writes) only when SOME lane
+# actually improved on the running best — exact, because a non-improving
+# sweep writes nothing.  Front-to-back/tree traversal makes most later
+# sweeps non-improving, so the gate skips ~10% of sweep vector ops for
+# one any-reduce + branch.  False = unconditional A/B variant.
+GATE_WINNER_EXTRACT = True
 # DFS stack bound for the OCTAL traversal: each expansion pushes at most
 # 8 children and descends one octal level, so worst-case depth is
 # 8 · ceil(log2(P2)/3) + roots — 54 at P2 = 2^17 (the largest heap the
@@ -793,7 +907,8 @@ TREE_MAX_STACK = 64
 def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
                          idx_ref, tmin_ref, table_ref=None, rec_ref=None,
                          tile=TRI_TILE, group_tiles=GROUP_TILES,
-                         tree_ref=None, stack_ref=None, extract_uv=None):
+                         tree_ref=None, stack_ref=None, extract_uv=None,
+                         table_hbm: bool = False):
     Tp = tri_ref.shape[1]
     num_tiles = bbox_ref.shape[1]  # REAL tiles (loop bound)
     num_groups = gbox_ref.shape[1]
@@ -802,12 +917,19 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
         rec_ref[:, :] = jnp.zeros(rec_ref.shape, jnp.float32)
     # Record emission is deferred out of the sweep (one dot per WINNER
     # tile after traversal, _extract_winner_records) unless the in-sweep
-    # A/B variant is forced.
-    sweep_table = table_ref if not REC_EMIT_DEFERRED else None
-    sweep_rec = rec_ref if not REC_EMIT_DEFERRED else None
+    # A/B variant is forced.  The deferred pass also recomputes the
+    # winner's u/v (bit-exact, same FMA order), so sweeps skip their u/v
+    # reduces entirely in that mode.
+    # An HBM table cannot be sliced per sweep — it forces deferral even
+    # when the in-sweep A/B variant is requested.
+    deferred = rec_ref is not None and (REC_EMIT_DEFERRED or table_hbm)
+    sweep_table = table_ref if not deferred else None
+    sweep_rec = rec_ref if not deferred else None
 
     if extract_uv is None:
         extract_uv = EXTRACT_UV_IN_KERNEL
+    if deferred:
+        extract_uv = False
 
     def sweep_tile(jt):
         # (On the official 7-tile scene, sub-block predication measured
@@ -893,8 +1015,11 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
         )
 
     traverse()
-    if rec_ref is not None and REC_EMIT_DEFERRED:
-        _extract_winner_records(table_ref, aux_ref, idx_ref, rec_ref, tile)
+    if deferred:
+        _extract_winner_records(
+            table_ref, aux_ref, idx_ref, rec_ref, tile,
+            tri_ref=tri_ref, o=o, d=d, table_hbm=table_hbm,
+        )
 
 
 def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
@@ -954,36 +1079,44 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
         ).astype(jnp.int32)
         child_leaf = node >= (p2 // 8)
 
-        # Nearest child first: visit (leaf) or defer to the post-loop
-        # push (internal, pushed LAST so it pops first).
+        # Leaf children sweep nearest-first inside ONE gated fori (a
+        # single inlined copy of the sweep body keeps Mosaic code size
+        # bounded); whole-leaf-row misses skip the loop entirely.
         @pl.when(any_hit & child_leaf)
         def _():
             visit_tile(jnp.minimum(base + jmin - p2, num_tiles - 1), True)
 
-        def jbody(j, sp):
-            ok = (jax.lax.shift_right_logical(vm, j) & 1) > 0
-            rest = ok & (j != jmin)
+            def jbody(j, _):
+                ok = (jax.lax.shift_right_logical(vm, j) & 1) > 0
 
-            @pl.when(rest & child_leaf)
-            def _():
-                visit_tile(jnp.minimum(base + j - p2, num_tiles - 1), True)
+                @pl.when(ok & (j != jmin))
+                def _():
+                    visit_tile(
+                        jnp.minimum(base + j - p2, num_tiles - 1), True
+                    )
 
-            do_push = rest & ~child_leaf
+                return 0
 
-            @pl.when(do_push)
-            def _():
-                stack_ref[sp] = base + j
+            jax.lax.fori_loop(0, 8, jbody, 0)
 
-            return sp + do_push.astype(jnp.int32)
-
-        sp = jax.lax.fori_loop(0, 8, jbody, sp)
-        push_min = any_hit & ~child_leaf
-
-        @pl.when(push_min)
-        def _():
-            stack_ref[sp] = base + jmin
-
-        return sp + push_min.astype(jnp.int32)
+        # Internal children push BRANCHLESSLY: write the candidate into
+        # the current slot unconditionally and advance the stack pointer
+        # only when it passed — a dead write is overwritten by the next
+        # push (or never popped), and the static unroll removes the eight
+        # scalar loop steps AND the eight `pl.when`s per expansion the old
+        # fori paid (profiled: traversal sequencing was ~1/3 of bounce
+        # trace on the 100k scene).  Nearest child last, so it pops first.
+        internal = any_hit & ~child_leaf
+        for j in range(8):
+            do_push = (
+                internal
+                & ((jax.lax.shift_right_logical(vm, j) & 1) > 0)
+                & (j != jmin)
+            )
+            stack_ref[sp] = base + j
+            sp = sp + do_push.astype(jnp.int32)
+        stack_ref[sp] = base + jmin
+        return sp + internal.astype(jnp.int32)
 
     # Roots: all nodes at depth (depth mod 3), so every stacked node's
     # leaf distance is a multiple of 3.  At most 4 of them.
@@ -1005,20 +1138,32 @@ def _make_trace_kernel_t(tile, group_tiles):
     return _trace_kernel_t
 
 
-def _make_trace_kernel_t_rec(tile, group_tiles):
+def _make_trace_kernel_t_rec(tile, group_tiles, table_hbm: bool = False):
     def _trace_kernel_t_rec(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
                             table_ref, aux_ref, idx_ref, rec_ref, tmin_ref,
                             stack_ref):
         _trace_body_resident(
             state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             tmin_ref, table_ref, rec_ref, tile=tile, group_tiles=group_tiles,
-            tree_ref=tree_ref, stack_ref=stack_ref,
+            tree_ref=tree_ref, stack_ref=stack_ref, table_hbm=table_hbm,
         )
 
     return _trace_kernel_t_rec
 
 
-def _make_trace_kernel_t_hbm(tile, group_tiles):
+def _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec: bool = False):
+    if emit_rec:
+        def _trace_kernel_t_hbm_rec(state_ref, tri_hbm_ref, bbox_ref,
+                                    gbox_ref, gtree_ref, table_ref, aux_ref,
+                                    idx_ref, rec_ref, tmin_ref, stack_ref):
+            _trace_kernel_t_hbm_body(
+                state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
+                tmin_ref, tile, group_tiles, gtree_ref, stack_ref,
+                table_ref=table_ref, rec_ref=rec_ref,
+            )
+
+        return _trace_kernel_t_hbm_rec
+
     def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                             gtree_ref, aux_ref, idx_ref, tmin_ref, stack_ref):
         _trace_kernel_t_hbm_body(
@@ -1031,17 +1176,25 @@ def _make_trace_kernel_t_hbm(tile, group_tiles):
 
 def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                              aux_ref, idx_ref, tmin_ref, tile, group_tiles,
-                             gtree_ref=None, stack_ref=None):
+                             gtree_ref=None, stack_ref=None, table_ref=None,
+                             rec_ref=None):
     """HBM-streaming variant: the transform bank stays in HBM.  The
     front-to-back group cull gates the DMA stream — a culled group of
     ``group_tiles`` tiles costs one slab test and moves ZERO bytes (r1
     fetched every tile: ~13 KB × all tiles × every ray block, which made
     100k-triangle scenes DMA-bound).  Within a surviving group, tiles
-    double-buffer so the copy of tile j+1 overlaps tile j's work."""
+    double-buffer so the copy of tile j+1 overlaps tile j's work.
+
+    ``table_ref``/``rec_ref``: streaming scenes also emit the winner's
+    packed shade record and exact u/v — post-traversal, one winner tile
+    at a time, with the table AND bank slices DMA'd on demand
+    (_extract_winner_records with table_hbm + tri_hbm)."""
     Tp = tri_hbm_ref.shape[1]
     num_tiles = bbox_ref.shape[1]  # REAL tiles
     num_groups = gbox_ref.shape[1]
     o, d, inv, active = _init_trace_refs(state_ref, aux_ref, idx_ref)
+    if rec_ref is not None:
+        rec_ref[:, :] = jnp.zeros(rec_ref.shape, jnp.float32)
 
     def scoped(scratch, sems):
         def get_dma(slot, jt):
@@ -1148,13 +1301,22 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
         scratch=pltpu.VMEM((2, _BANK_ROWS, tile), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
+    if rec_ref is not None:
+        _extract_winner_records(
+            table_ref, aux_ref, idx_ref, rec_ref, tile,
+            tri_ref=tri_hbm_ref, o=o, d=d, table_hbm=True, tri_hbm=True,
+        )
 
 
-# Resident banks up to this many padded triangles also emit the winner's
-# packed shade record from inside the trace kernel (one-hot MXU matmul per
-# tile), eliminating the XLA (24, R) record gather.  VMEM bound: bank
-# 16 rows + table 24 rows at 2^15 tris ≈ 5.2 MB, leaving room for the
-# (Kt, LB) intermediates.
+# Up to this many padded triangles the packed shade table is VMEM-resident
+# in the rec-emit kernels (bank 16 rows + table 24 rows at 2^15 tris ≈
+# 5.2 MB, leaving room for the (Kt, LB) intermediates).  Bigger RESIDENT
+# scenes still emit records in-kernel — the table stays in HBM and the
+# deferred extraction DMAs each winner tile's (24, tile) slice on demand
+# (_extract_winner_records table_hbm) — so every resident scene skips the
+# per-bounce XLA (24, R) record gather AND the (13, R) u/v recompute
+# gather.  The whole-path kernel still requires the VMEM-resident table
+# (it shades every bounce in-kernel; render/wavefront.whole_path_regime).
 REC_EMIT_MAX_TRIS = 1 << 15
 
 
@@ -1178,10 +1340,12 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     R = state16.shape[1]
     assert R % LANE_BLOCK == 0, f"wave {R} not a multiple of {LANE_BLOCK}"
     streaming = tris.tri_data.shape[1] > VMEM_RESIDENT_MAX_TRIS
-    emit_rec = (
-        rec_table is not None
-        and not streaming
-        and tris.tri_data.shape[1] <= REC_EMIT_MAX_TRIS
+    emit_rec = rec_table is not None
+    # Past the VMEM-table bound the table rides in HBM and only winner
+    # tiles are DMA'd (deferred extraction) — see REC_EMIT_MAX_TRIS.
+    # Streaming scenes DMA the winner's bank slice the same way.
+    table_hbm = emit_rec and (
+        streaming or tris.tri_data.shape[1] > REC_EMIT_MAX_TRIS
     )
     lane_block = (
         LANE_BLOCK_RESIDENT
@@ -1230,9 +1394,17 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     operands.append(heap)
     scratch_shapes.append(pltpu.SMEM((TREE_MAX_STACK,), jnp.int32))
     if emit_rec:
-        kernel = _make_trace_kernel_t_rec(tile, group_tiles)
+        kernel = (
+            _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec=True)
+            if streaming
+            else _make_trace_kernel_t_rec(tile, group_tiles,
+                                          table_hbm=table_hbm)
+        )
         in_specs.append(
-            pl.BlockSpec(rec_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                rec_table.shape, lambda i: (0, 0),
+                memory_space=pltpu.ANY if table_hbm else pltpu.VMEM,
+            )
         )
         out_specs.append(
             pl.BlockSpec((24, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -1261,6 +1433,11 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     else:
         aux, idx_m = out
         rec = None
-    if not EXTRACT_UV_IN_KERNEL:
+    if not EXTRACT_UV_IN_KERNEL and not (
+        emit_rec and (REC_EMIT_DEFERRED or table_hbm)
+    ):
+        # Rec-emit kernels in deferred mode (incl. every HBM-table and
+        # streaming rec variant) already filled exact u/v in-kernel; only
+        # the record-less kernels still need the XLA winner recompute.
         aux = recompute_uv(tris, state16, aux, idx_m[0])
     return aux, idx_m[0], rec

@@ -79,6 +79,18 @@ def _ray_sort_key(scene: DeviceScene, state):
     return (dead << 30) | key
 
 
+def _invert_perm(perm):
+    """Inverse of a permutation by scatter: inv[perm[i]] = i.
+
+    Replaces ``jnp.argsort(perm)`` — a second full O(R log²R) bitonic
+    sort per wave — with one O(R) scatter.  Bit-identical output for any
+    permutation (every target index is written exactly once)."""
+    r = perm.shape[0]
+    return jnp.zeros((r,), perm.dtype).at[perm].set(
+        jnp.arange(r, dtype=perm.dtype)
+    )
+
+
 class TraceResult(NamedTuple):
     t: jnp.ndarray  # (R,) f32 — +inf on miss
     u: jnp.ndarray  # (R,) f32
@@ -389,7 +401,7 @@ def render_wave(
                 scene.mxu, state, scene.shade_table_t, bank,
                 max_bounce - 1, ed, interpret=interpret, bounce0=1,
             )
-            inv = jnp.argsort(perm)
+            inv = _invert_perm(perm)
             return (
                 pixel,
                 jnp.take(state[9:12], inv, axis=1).T,
@@ -417,9 +429,11 @@ def render_wave(
                 perm = jnp.argsort(key)
                 state = jnp.take(state, perm, axis=1)
                 order = jnp.take(order, perm)
-            # Resident banks also emit the winner's shade record from inside
-            # the trace kernel (one-hot MXU matmul) — rec is None in the
-            # streaming regime and shade_fused falls back to the XLA gather.
+            # Every MXU regime now emits the winner's shade record and
+            # exact u/v from inside the trace kernel (one-hot MXU dot per
+            # winner tile; HBM table/bank slices DMA'd on demand), so
+            # shade_fused never pays the (24, R) record gather and the
+            # (13, R) u/v recompute gather is gone.
             aux, tri, rec = trace_emit_aux(
                 scene.mxu, state, rec_table=scene.shade_table_t,
                 interpret=interpret,
@@ -429,7 +443,7 @@ def render_wave(
                 interpret=interpret, block_skip=sort_rays, rec=rec,
             )
         if sort_rays:
-            inv = jnp.argsort(order)
+            inv = _invert_perm(order)
             return (
                 pixel,
                 jnp.take(state[9:12], inv, axis=1).T,
@@ -615,7 +629,7 @@ def render_wave_rows(
                 scene.mxu, state, scene.shade_table_t, bank,
                 max_bounce - 1, ed, interpret=interpret, bounce0=1,
             )
-            inv = jnp.argsort(perm)
+            inv = _invert_perm(perm)
             rows4 = jnp.take(
                 jnp.concatenate([state[9:12], state[14:15]], axis=0),
                 inv, axis=1,
