@@ -66,6 +66,13 @@ def main():
         mi.REC_EMIT_DEFERRED = defer
         jax.clear_caches()
         for name, sc, cam, cfg in workloads:
+            # REC_EMIT_DEFERRED only matters when the table is VMEM-resident
+            # (> REC_EMIT_MAX_TRIS forces deferral regardless of the flag) —
+            # skip rows where the flag cannot change the kernel.
+            if not defer and sc.mxu.tri_data.shape[1] > mi.REC_EMIT_MAX_TRIS:
+                print(f"{name:9s} {label}: skipped (table_hbm forces "
+                      f"deferral)", flush=True)
+                continue
             med, best = measure(sc, cam, cfg)
             print(f"{name:9s} {label}: median {med:.3f}  best {best:.3f} "
                   f"Mrays/s", flush=True)

@@ -1193,6 +1193,10 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
     num_tiles = bbox_ref.shape[1]  # REAL tiles
     num_groups = gbox_ref.shape[1]
     o, d, inv, active = _init_trace_refs(state_ref, aux_ref, idx_ref)
+    # Streaming extraction is ALWAYS deferred (_extract_winner_records runs
+    # post-traversal); in-sweep u/v reduces would be overwritten, so force
+    # them off exactly like the resident kernel's deferred mode.
+    extract_uv = False if rec_ref is not None else EXTRACT_UV_IN_KERNEL
     if rec_ref is not None:
         rec_ref[:, :] = jnp.zeros(rec_ref.shape, jnp.float32)
 
@@ -1250,13 +1254,13 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                                     scratch[slot], o[0], o[1], o[2],
                                     d[0], d[1], d[2], s, Tp, aux_ref,
                                     idx_ref, sl=sl,
-                                    extract_uv=EXTRACT_UV_IN_KERNEL,
+                                    extract_uv=extract_uv,
                                 )
                     else:
                         _tile_update(
                             scratch[slot], o[0], o[1], o[2], d[0], d[1],
                             d[2], s, Tp, aux_ref, idx_ref,
-                            extract_uv=EXTRACT_UV_IN_KERNEL,
+                            extract_uv=extract_uv,
                         )
 
                 return 0
@@ -1331,11 +1335,13 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     shade_table_t is pre-permuted into the same order, so no perm gather.
 
     ``rec_table`` (the (24, Tp) Morton-ordered packed shade table,
-    scene/types.py shade_table_t): when given and the bank is small enough
-    (REC_EMIT_MAX_TRIS, resident regime), the kernel also emits each ray's
-    winning record directly — rec is None otherwise and the caller falls
-    back to the XLA gather.  Missed rays get an all-zero record (masked by
-    alive/missed downstream exactly like the gather path's tri_m = 0 row).
+    scene/types.py shade_table_t): when given, the kernel emits each ray's
+    winning record in EVERY regime — VMEM-resident tables in-sweep or
+    deferred, larger tables (> REC_EMIT_MAX_TRIS) and streaming scenes via
+    HBM with only the winner tiles DMA'd post-traversal
+    (_extract_winner_records).  rec is None only when rec_table is None.
+    Missed rays get an all-zero record (masked by alive/missed downstream
+    exactly like the gather path's tri_m = 0 row).
     """
     R = state16.shape[1]
     assert R % LANE_BLOCK == 0, f"wave {R} not a multiple of {LANE_BLOCK}"
@@ -1365,7 +1371,7 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     assert tris.tri_data.shape[1] % (tile * group_tiles) == 0
     nb = R // lane_block
 
-    tri_space = pltpu.ANY if streaming else pltpu.VMEM
+    tri_space = pl.ANY if streaming else pltpu.VMEM
     num_groups = tris.group_bbox.shape[1]
     in_specs = [
         pl.BlockSpec((16, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -1403,7 +1409,7 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
         in_specs.append(
             pl.BlockSpec(
                 rec_table.shape, lambda i: (0, 0),
-                memory_space=pltpu.ANY if table_hbm else pltpu.VMEM,
+                memory_space=pl.ANY if table_hbm else pltpu.VMEM,
             )
         )
         out_specs.append(

@@ -522,7 +522,7 @@ def _paged_corners(tex16, p11_i, p21_i, p12_i):
     return [p11, p21, p12, p22]
 
 
-def resident_bank(scene: DeviceScene, whole_path: bool = False):
+def resident_bank(scene: DeviceScene):
     """The texel bank for single-kernel shading, or None.
 
     One-hot (4, Pp) banks and paged banks (scene/types._pack_paged_bank)
@@ -530,7 +530,6 @@ def resident_bank(scene: DeviceScene, whole_path: bool = False):
     PAGED_VMEM_MAX_BYTES live in HBM and stream demanded pages by DMA
     (_fetch_paged), costing only a 2-page VMEM scratch — so bank size no
     longer forces the per-bounce XLA-gather pipeline."""
-    del whole_path  # bank size no longer restricts the whole-path kernel
     if scene.color_u16f_t is not None:
         return scene.color_u16f_t
     return scene.color_paged_t
@@ -901,7 +900,7 @@ def path_trace_gen(
     par,  # (32,) f32 camera/bbox scalars (see PAR_* rows)
     meta,  # (8,) i32 wave scalars (see META_* rows)
     rec_table,  # (24, Tp) f32 Morton-ordered packed shade table
-    bank,  # (4, Pp) f32 u16-valued texel bank
+    bank,  # texel bank: (4, Pp) one-hot, or paged (VMEM/HBM; see _bank_spec)
     wave_size: int,
     max_bounce: int,
     emissive_dummy: bool,
@@ -965,7 +964,7 @@ def path_trace_fused(
     tris,  # ops.mxu_intersect.MXUTriangles (VMEM-resident, rec-emit sized)
     state16,  # (16, R) f32 field-major primary-ray state
     rec_table,  # (24, Tp) f32 Morton-ordered packed shade table
-    bank,  # (4, Pp) f32 u16-valued texel bank (one-hot fetch regime)
+    bank,  # texel bank: (4, Pp) one-hot, or paged (VMEM/HBM; see _bank_spec)
     max_bounce: int,
     emissive_dummy: bool,
     interpret: bool = False,

@@ -361,7 +361,7 @@ def render_wave(
         from ..ops.mxu_intersect import REC_EMIT_MAX_TRIS
         from .fused import resident_bank
 
-        bank = resident_bank(scene, whole_path=True)
+        bank = resident_bank(scene)
         if (
             # (implied by the REC_EMIT bound — REC_EMIT_MAX_TRIS <
             # SORT_MIN_TRIS — but kept explicit: the path kernel has no
@@ -538,7 +538,7 @@ def whole_path_regime(scene: DeviceScene, use_fused: bool | None = None,
     return bool(
         use_fused
         and scene.mxu is not None
-        and resident_bank(scene, whole_path=True) is not None
+        and resident_bank(scene) is not None
         and scene.shade_table_t is not None
         and scene.mxu.tri_data.shape[1] <= REC_EMIT_MAX_TRIS
         and scene.mxu.tri_data.shape[1] <= SORT_MIN_TRIS
@@ -596,7 +596,7 @@ def render_wave_rows(
             GenParams, path_trace_fused, path_trace_gen, resident_bank,
         )
 
-        bank = resident_bank(scene, whole_path=True)
+        bank = resident_bank(scene)
 
         interpret = jax.default_backend() != "tpu"
         gen = GenParams(
