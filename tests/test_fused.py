@@ -592,3 +592,73 @@ def test_streaming_rec_emit_matches_resident(scene_and_rays, monkeypatch):
     np.testing.assert_array_equal(np.asarray(aux_a[:5]), np.asarray(aux_b[:5]))
     np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
     np.testing.assert_array_equal(np.asarray(rec_a), np.asarray(rec_b))
+
+
+def test_shared_origin_b0_bit_identical(tmp_path, monkeypatch):
+    """SHARED_ORIGIN_B0 collapses the bounce-0 origin transform to (Kt, 1)
+    scalar-broadcast columns inside the gen kernel.  Every primary ray
+    shares the pinhole camera origin, so the production image must be
+    BIT-IDENTICAL to the per-lane variant (same f32 ops on equal values).
+    Runs the full fused pipeline (whole-path kernel, interpret mode)."""
+    from zig_raytracing_contest_tpu.config import Config
+    from zig_raytracing_contest_tpu.render import fused
+    from zig_raytracing_contest_tpu.render.pipeline import (
+        prepare_scene,
+        render_scene,
+    )
+
+    p = procedural.cornell_like_box(tmp_path / "so.gltf")
+    cfg = Config(
+        grid_resolution=(4, 4, 4), num_samples=2, max_bounce=3, seed=7,
+        wave_size=2048,
+    )
+    scene, cam, _ = prepare_scene(
+        str(p), cfg, camera_name="Camera 1", width=24, height=24
+    )
+    assert fused.SHARED_ORIGIN_B0  # production default
+    img_a, st_a = render_scene(scene, cam, cfg, use_fused=True)
+    monkeypatch.setattr(fused, "SHARED_ORIGIN_B0", False)
+    jax.clear_caches()  # the flag is read at trace time, not a jit key
+    try:
+        img_b, st_b = render_scene(scene, cam, cfg, use_fused=True)
+    finally:
+        jax.clear_caches()
+    np.testing.assert_array_equal(img_a, img_b)
+    assert st_a.segments == st_b.segments
+
+
+def test_shared_origin_b0_tree_paths_bit_identical(tmp_path, monkeypatch):
+    """Same flag, ≥16-tile scene: bounce 0 with scalar origins must also be
+    bit-identical through the TREE traversal (_cull_entry_batch's (N, 1)
+    scalar-broadcast branch) — the small-scene test only covers the flat
+    sweep.  36-side terrain = 2592 tris = 21 tiles ≥ TREE_MIN_TILES."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+    from bench import build_large_scene
+    from zig_raytracing_contest_tpu.config import Config
+    from zig_raytracing_contest_tpu.render import fused
+    from zig_raytracing_contest_tpu.render.pipeline import (
+        prepare_scene,
+        render_scene,
+    )
+
+    p = build_large_scene(tmp_path / "t.gltf", side=36)
+    cfg = Config(num_samples=1, max_bounce=2, seed=3, wave_size=2048)
+    scene, cam, _ = prepare_scene(
+        str(p), cfg, camera_name="Camera 1", width=16, height=16
+    )
+    from zig_raytracing_contest_tpu.render.wavefront import whole_path_regime
+
+    assert whole_path_regime(scene, use_fused=True)
+    assert scene.mxu.tile_bbox.shape[1] >= 16  # tree traversal engaged
+    img_a, st_a = render_scene(scene, cam, cfg, use_fused=True)
+    monkeypatch.setattr(fused, "SHARED_ORIGIN_B0", False)
+    jax.clear_caches()
+    try:
+        img_b, st_b = render_scene(scene, cam, cfg, use_fused=True)
+    finally:
+        jax.clear_caches()
+    np.testing.assert_array_equal(img_a, img_b)
+    assert st_a.segments == st_b.segments

@@ -429,11 +429,18 @@ VMEM_WIDE_BLOCK_MAX_TRIS = 1 << 16
 
 def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
                  sl=slice(None), table_rows=None, rec_ref=None,
-                 extract_uv=True):
+                 extract_uv=True, origin=None):
     """Intersect one (13, Kt) transform tile against the lane rays and fold
     the winners into the running-nearest refs.  Shared by the VMEM-resident
     and HBM-streaming trace kernels.  ``sl`` restricts the update to a
     static lane sub-range (sub-block predication).
+
+    ``origin``: optional 3-tuple of f32 SCALARS when every lane shares one
+    ray origin (bounce-0 primary rays from a pinhole camera).  The origin
+    transform (ou/ov/ow — 18 of the sweep's ~51 (Kt, LB) vector ops)
+    then collapses to (Kt, 1) columns computed once per tile and
+    broadcast, bit-identical to the per-lane path because every lane held
+    the same value (same f32 ops, same order).
 
     The six transform applications run on the VPU by default
     (``_TRANSFORM_MODE = "vpu"``: exact-f32 broadcasted FMA, the same op
@@ -470,7 +477,10 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
     if _TRANSFORM_MODE == "vpu":
         # Exact-f32 broadcasted FMA on the VPU (same op sequence as the
         # XLA oracle's _intersect_tile, transposed).
-        o0, o1, o2 = ox[sl], oy[sl], oz[sl]
+        if origin is not None:
+            o0, o1, o2 = origin  # f32 scalars; ou/ov/ow become (Kt, 1)
+        else:
+            o0, o1, o2 = ox[sl], oy[sl], oz[sl]
         d0, d1, d2 = dx[sl], dy[sl], dz[sl]
         ou = m(0) * o0 + m(1) * o1 + m(2) * o2 + m(9)
         ov = m(3) * o0 + m(4) * o1 + m(5) * o2 + m(10)
@@ -757,9 +767,14 @@ def _cull_entry_batch(bbox_ref, nodes, o, inv, best, active):
     def col(k):
         return jnp.stack([bbox_ref[k, n] for n in nodes])[:, None]  # (N, 1)
 
-    ox = o[0][None, :]
-    oy = o[1][None, :]
-    oz = o[2][None, :]
+    if jnp.ndim(o[0]) == 0:
+        # Shared-origin bounce 0: scalar origins broadcast against the
+        # (N, 1) box columns — the six subtractions become (N, 1) ops.
+        ox, oy, oz = o
+    else:
+        ox = o[0][None, :]
+        oy = o[1][None, :]
+        oz = o[2][None, :]
     ix = inv[0][None, :]
     iy = inv[1][None, :]
     iz = inv[2][None, :]
@@ -908,11 +923,16 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
                          idx_ref, tmin_ref, table_ref=None, rec_ref=None,
                          tile=TRI_TILE, group_tiles=GROUP_TILES,
                          tree_ref=None, stack_ref=None, extract_uv=None,
-                         table_hbm: bool = False):
+                         table_hbm: bool = False, origin=None):
     Tp = tri_ref.shape[1]
     num_tiles = bbox_ref.shape[1]  # REAL tiles (loop bound)
     num_groups = gbox_ref.shape[1]
     o, d, inv, active = _init_trace_refs(state_ref, aux_ref, idx_ref)
+    # Shared-origin bounce 0 (``origin`` = 3 scalars): the cull/traversal
+    # paths use the scalars too — the slab tests' six per-lane origin
+    # subtractions collapse to scalar ops, bit-identical because every
+    # lane's state rows 0-2 hold exactly these values (_gen_rays).
+    oc = origin if origin is not None else o
     if rec_ref is not None:
         rec_ref[:, :] = jnp.zeros(rec_ref.shape, jnp.float32)
     # Record emission is deferred out of the sweep (one dot per WINNER
@@ -948,9 +968,11 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
             jc = jnp.minimum(jt, num_tiles - 1)
             for q in range(SUBBLOCK_SWEEP):
                 sl = slice(q * w, (q + 1) * w)
+                o_sl = oc if origin is not None else (
+                    o[0][sl], o[1][sl], o[2][sl]
+                )
                 hit_q = jnp.any(_cull_mask(
-                    bbox_ref, jc,
-                    (o[0][sl], o[1][sl], o[2][sl]),
+                    bbox_ref, jc, o_sl,
                     (inv[0][sl], inv[1][sl], inv[2][sl]),
                     aux_ref[2, sl], active[sl],
                 ))
@@ -961,6 +983,7 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
                         rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
                         aux_ref, idx_ref, sl=sl, table_rows=table_rows,
                         rec_ref=sweep_rec, extract_uv=extract_uv,
+                        origin=origin,
                     )
             return
         _tile_update(
@@ -969,11 +992,12 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
             table_rows=table_rows,
             rec_ref=sweep_rec,
             extract_uv=extract_uv,
+            origin=origin,
         )
 
     def visit_tile(jt, real):
         jc = jnp.minimum(jt, num_tiles - 1)  # clamp the SMEM bbox read
-        hit = real & _cull_any(bbox_ref, jc, o, inv, aux_ref[2, :], active)
+        hit = real & _cull_any(bbox_ref, jc, oc, inv, aux_ref[2, :], active)
 
         @pl.when(hit)
         def _():
@@ -988,7 +1012,7 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
             # The traversal's own child test IS the tile cull (leaf box =
             # tile box), so leaves sweep directly.
             _tree_traverse(
-                tree_ref, stack_ref, o, inv, active, aux_ref,
+                tree_ref, stack_ref, oc, inv, active, aux_ref,
                 lambda jt, real: sweep_tile(jt), num_tiles,
             )
             return
@@ -1010,7 +1034,7 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
             jax.lax.fori_loop(0, group_tiles, tile_body, 0)
 
         _front_to_back_groups(
-            gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref,
+            gbox_ref, num_groups, oc, inv, active, aux_ref, tmin_ref,
             process_group,
         )
 

@@ -860,6 +860,15 @@ def _emit_sort_key(out_ref, par_ref):
     out_ref[15, :] = pltpu.bitcast(key[None, :], jnp.float32)[0, :]
 
 
+# When True (production), the bounce-0 trace inside the gen kernel passes
+# the camera origin as SCALARS: every primary ray shares it (pinhole
+# camera, _gen_rays broadcasts par rows 0-2), so the origin half of the
+# tile sweep's transform (ou/ov/ow, 18 of ~51 (Kt, LB) vector ops)
+# collapses to (Kt, 1) columns — bit-identical by construction (same f32
+# ops on the same values).  False = per-lane A/B variant.
+SHARED_ORIGIN_B0 = True
+
+
 def _make_path_kernel_gen(max_bounce: int, emissive_dummy: bool, tile: int,
                           group_tiles: int, gen: GenParams, emit_key: bool):
     from ..ops.mxu_intersect import _trace_body_resident
@@ -869,9 +878,12 @@ def _make_path_kernel_gen(max_bounce: int, emissive_dummy: bool, tile: int,
                          idx_ref, rec_ref, tmin_ref, stack_ref):
         _gen_rays(par_ref, meta_ref, out_ref, gen)
         for bounce in range(max_bounce):
+            origin = None
+            if bounce == 0 and SHARED_ORIGIN_B0:
+                origin = tuple(par_ref[PAR_ORIGIN + a] for a in range(3))
 
             @pl.when(jnp.any(out_ref[12, :] > 0.0))
-            def _(bounce=bounce):
+            def _(bounce=bounce, origin=origin):
                 _trace_body_resident(
                     out_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
                     tmin_ref, table_ref, rec_ref,
@@ -880,6 +892,7 @@ def _make_path_kernel_gen(max_bounce: int, emissive_dummy: bool, tile: int,
                     # Shading runs in-kernel off aux rows 0/1 — UV must be
                     # extracted here regardless of EXTRACT_UV_IN_KERNEL.
                     extract_uv=True,
+                    origin=origin,
                 )
                 _shade1_body(rec_ref, aux_ref, out_ref, bank_ref, out_ref,
                              bounce, emissive_dummy)
