@@ -56,14 +56,18 @@ def main():
                                    width=1280, height=720)
         workloads.append(("large", sc, cam, cfg_l))
 
+    from zig_raytracing_contest_tpu.render import fused
+
     variants = [
-        ("defaults (gate=T, defer=T)", True, True),
-        ("gate=F, defer=T", False, True),
-        ("gate=T, defer=F", True, False),
+        ("defaults (gate=T, defer=T, so=T)", True, True, True),
+        ("gate=F, defer=T, so=T", False, True, True),
+        ("gate=T, defer=F, so=T", True, False, True),
+        ("gate=T, defer=T, so=F", True, True, False),
     ]
-    for label, gate, defer in variants:
+    for label, gate, defer, so in variants:
         mi.GATE_WINNER_EXTRACT = gate
         mi.REC_EMIT_DEFERRED = defer
+        fused.SHARED_ORIGIN_B0 = so
         jax.clear_caches()
         for name, sc, cam, cfg in workloads:
             # REC_EMIT_DEFERRED only matters when the table is VMEM-resident
@@ -73,11 +77,21 @@ def main():
                 print(f"{name:9s} {label}: skipped (table_hbm forces "
                       f"deferral)", flush=True)
                 continue
+            # SHARED_ORIGIN_B0 only affects the whole-path gen kernel.
+            if not so:
+                from zig_raytracing_contest_tpu.render.wavefront import (
+                    whole_path_regime,
+                )
+                if not whole_path_regime(sc, use_fused=True):
+                    print(f"{name:9s} {label}: skipped (per-bounce "
+                          f"pipeline; flag is a no-op)", flush=True)
+                    continue
             med, best = measure(sc, cam, cfg)
             print(f"{name:9s} {label}: median {med:.3f}  best {best:.3f} "
                   f"Mrays/s", flush=True)
     mi.GATE_WINNER_EXTRACT = True
     mi.REC_EMIT_DEFERRED = True
+    fused.SHARED_ORIGIN_B0 = True
     return 0
 
 
