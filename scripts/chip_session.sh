@@ -34,8 +34,10 @@ stage official 1800 python bench.py
 #    4M>=0.5).  side n => 2*n^2 triangles.
 stage sweep_100k 1500 python scripts/large_sweep.py --side=224
 stage sweep_500k 1500 python scripts/large_sweep.py --side=500
-stage sweep_2m   1800 python scripts/large_sweep.py --side=1000
-stage sweep_4m   1800 python scripts/large_sweep.py --side=1414
+# (host prepare alone is ~2 min each at this size — measured on this
+# image; budget for it plus the TPU warmup compile)
+stage sweep_2m   2400 python scripts/large_sweep.py --side=1000
+stage sweep_4m   2400 python scripts/large_sweep.py --side=1414
 
 # 3. Official --large bench (the BENCH-protocol 100k number).
 stage large 1500 python bench.py --large
@@ -47,8 +49,12 @@ stage paged_ab 2400 python scripts/paged_ab.py
 # 5. On-chip golden gate (VERDICT item 7).
 stage golden 2400 python scripts/golden_tpu.py
 
-# 6. Flag A/Bs (gate/defer) — diagnostic, lowest priority.
-stage ab_flags 2400 python scripts/ab_flags.py
+# 6. Per-stage device timings — feeds the next optimization round.
+stage profile_official 1500 python scripts/profile_stages.py
+stage profile_large 1500 python scripts/profile_stages.py --large
+
+# 7. Flag A/Bs (gate/defer/shared-origin) — diagnostic, lowest priority.
+stage ab_flags 3000 python scripts/ab_flags.py
 
 echo "=== DONE; summary:"
 cat "$OUT/SUMMARY"
