@@ -662,3 +662,39 @@ def test_shared_origin_b0_tree_paths_bit_identical(tmp_path, monkeypatch):
         jax.clear_caches()
     np.testing.assert_array_equal(img_a, img_b)
     assert st_a.segments == st_b.segments
+
+
+def test_trace_shared_origin_matches_per_lane(scene_and_rays, monkeypatch):
+    """trace_emit_aux(origin=cam) must be bit-identical to the per-lane
+    path when every lane's state rows 0-2 hold the camera origin — in the
+    VMEM-resident kernel AND the HBM-streaming kernel (forced via the
+    residency threshold).  This is the per-bounce pipeline's bounce-0
+    fast path (render_wave)."""
+    from zig_raytracing_contest_tpu.ops import mxu_intersect as mi
+
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(11), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    cam = orig[0]  # every row of orig is the camera origin
+    for force_streaming in (False, True):
+        if force_streaming:
+            monkeypatch.setattr(mi, "VMEM_RESIDENT_MAX_TRIS", 0)
+        trace_emit_aux._clear_cache()
+        try:
+            aux_a, idx_a, rec_a = trace_emit_aux(
+                scene.mxu, state, rec_table=scene.shade_table_t,
+                interpret=True,
+            )
+            aux_b, idx_b, rec_b = trace_emit_aux(
+                scene.mxu, state, rec_table=scene.shade_table_t,
+                interpret=True, origin=cam,
+            )
+        finally:
+            trace_emit_aux._clear_cache()
+        np.testing.assert_array_equal(np.asarray(aux_a[:5]),
+                                      np.asarray(aux_b[:5]))
+        np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+        np.testing.assert_array_equal(np.asarray(rec_a), np.asarray(rec_b))

@@ -1150,49 +1150,70 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
     jax.lax.while_loop(cond, body, n_roots)
 
 
-def _make_trace_kernel_t(tile, group_tiles):
+def _origin3(origin_ref):
+    """SMEM (3,) camera-origin operand → scalar 3-tuple (or None)."""
+    if origin_ref is None:
+        return None
+    return (origin_ref[0], origin_ref[1], origin_ref[2])
+
+
+def _make_trace_kernel_t(tile, group_tiles, use_origin: bool = False):
     def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
-                        aux_ref, idx_ref, tmin_ref, stack_ref):
+                        *rest):
+        origin_ref, rest = (rest[0], rest[1:]) if use_origin else (None, rest)
+        aux_ref, idx_ref, tmin_ref, stack_ref = rest
         _trace_body_resident(
             state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             tmin_ref, tile=tile, group_tiles=group_tiles,
             tree_ref=tree_ref, stack_ref=stack_ref,
+            origin=_origin3(origin_ref),
         )
 
     return _trace_kernel_t
 
 
-def _make_trace_kernel_t_rec(tile, group_tiles, table_hbm: bool = False):
+def _make_trace_kernel_t_rec(tile, group_tiles, table_hbm: bool = False,
+                             use_origin: bool = False):
     def _trace_kernel_t_rec(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
-                            table_ref, aux_ref, idx_ref, rec_ref, tmin_ref,
-                            stack_ref):
+                            table_ref, *rest):
+        origin_ref, rest = (rest[0], rest[1:]) if use_origin else (None, rest)
+        aux_ref, idx_ref, rec_ref, tmin_ref, stack_ref = rest
         _trace_body_resident(
             state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             tmin_ref, table_ref, rec_ref, tile=tile, group_tiles=group_tiles,
             tree_ref=tree_ref, stack_ref=stack_ref, table_hbm=table_hbm,
+            origin=_origin3(origin_ref),
         )
 
     return _trace_kernel_t_rec
 
 
-def _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec: bool = False):
+def _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec: bool = False,
+                             use_origin: bool = False):
     if emit_rec:
         def _trace_kernel_t_hbm_rec(state_ref, tri_hbm_ref, bbox_ref,
-                                    gbox_ref, gtree_ref, table_ref, aux_ref,
-                                    idx_ref, rec_ref, tmin_ref, stack_ref):
+                                    gbox_ref, gtree_ref, table_ref, *rest):
+            origin_ref, rest = (
+                (rest[0], rest[1:]) if use_origin else (None, rest)
+            )
+            aux_ref, idx_ref, rec_ref, tmin_ref, stack_ref = rest
             _trace_kernel_t_hbm_body(
                 state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
                 tmin_ref, tile, group_tiles, gtree_ref, stack_ref,
                 table_ref=table_ref, rec_ref=rec_ref,
+                origin=_origin3(origin_ref),
             )
 
         return _trace_kernel_t_hbm_rec
 
     def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
-                            gtree_ref, aux_ref, idx_ref, tmin_ref, stack_ref):
+                            gtree_ref, *rest):
+        origin_ref, rest = (rest[0], rest[1:]) if use_origin else (None, rest)
+        aux_ref, idx_ref, tmin_ref, stack_ref = rest
         _trace_kernel_t_hbm_body(
             state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             tmin_ref, tile, group_tiles, gtree_ref, stack_ref,
+            origin=_origin3(origin_ref),
         )
 
     return _trace_kernel_t_hbm
@@ -1201,7 +1222,7 @@ def _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec: bool = False):
 def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                              aux_ref, idx_ref, tmin_ref, tile, group_tiles,
                              gtree_ref=None, stack_ref=None, table_ref=None,
-                             rec_ref=None):
+                             rec_ref=None, origin=None):
     """HBM-streaming variant: the transform bank stays in HBM.  The
     front-to-back group cull gates the DMA stream — a culled group of
     ``group_tiles`` tiles costs one slab test and moves ZERO bytes (r1
@@ -1217,6 +1238,9 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
     num_tiles = bbox_ref.shape[1]  # REAL tiles
     num_groups = gbox_ref.shape[1]
     o, d, inv, active = _init_trace_refs(state_ref, aux_ref, idx_ref)
+    # Shared-origin bounce 0 (see _trace_body_resident): culls and sweeps
+    # use the camera scalars, bit-identical to the per-lane rows.
+    oc = origin if origin is not None else o
     # Streaming extraction is ALWAYS deferred (_extract_winner_records runs
     # post-traversal); in-sweep u/v reduces would be overwritten, so force
     # them off exactly like the resident kernel's deferred mode.
@@ -1250,7 +1274,7 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                 # Tile cull before the wait so it overlaps the copy.
                 jc = jnp.minimum(jt, num_tiles - 1)
                 tile_hit = real & _cull_any(
-                    bbox_ref, jc, o, inv, aux_ref[2, :], active
+                    bbox_ref, jc, oc, inv, aux_ref[2, :], active
                 )
 
                 @pl.when(real)
@@ -1265,9 +1289,11 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                         w = lb // SUBBLOCK_SWEEP
                         for q in range(SUBBLOCK_SWEEP):
                             sl = slice(q * w, (q + 1) * w)
+                            o_sl = oc if origin is not None else (
+                                o[0][sl], o[1][sl], o[2][sl]
+                            )
                             hit_q = jnp.any(_cull_mask(
-                                bbox_ref, jc,
-                                (o[0][sl], o[1][sl], o[2][sl]),
+                                bbox_ref, jc, o_sl,
                                 (inv[0][sl], inv[1][sl], inv[2][sl]),
                                 aux_ref[2, sl], active[sl],
                             ))
@@ -1279,12 +1305,14 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                                     d[0], d[1], d[2], s, Tp, aux_ref,
                                     idx_ref, sl=sl,
                                     extract_uv=extract_uv,
+                                    origin=origin,
                                 )
                     else:
                         _tile_update(
                             scratch[slot], o[0], o[1], o[2], d[0], d[1],
                             d[2], s, Tp, aux_ref, idx_ref,
                             extract_uv=extract_uv,
+                            origin=origin,
                         )
 
                 return 0
@@ -1308,19 +1336,19 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                 # group moves zero bytes (the whole point of streaming
                 # culls).  Resident leaves skip this — their sweep is
                 # cheaper than the wasted bytes are here.
-                @pl.when(_cull_any(gbox_ref, g, o, inv, aux_ref[2, :],
+                @pl.when(_cull_any(gbox_ref, g, oc, inv, aux_ref[2, :],
                                    active))
                 def _():
                     process_group(g)
 
             _tree_traverse(
-                gtree_ref, stack_ref, o, inv, active, aux_ref, visit_group,
+                gtree_ref, stack_ref, oc, inv, active, aux_ref, visit_group,
                 num_groups,
             )
             return
 
         _front_to_back_groups(
-            gbox_ref, num_groups, o, inv, active, aux_ref, tmin_ref,
+            gbox_ref, num_groups, oc, inv, active, aux_ref, tmin_ref,
             process_group,
         )
 
@@ -1350,9 +1378,15 @@ REC_EMIT_MAX_TRIS = 1 << 15
 
 @partial(jax.jit, static_argnames=("interpret",))
 def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
-                   interpret: bool = False):
+                   interpret: bool = False, origin=None):
     """Field-major nearest hit: (16, R) state → (aux (8, R), idx_m (R,),
     rec (24, R) | None).
+
+    ``origin``: optional (3,) f32 camera origin when EVERY lane's state
+    rows 0-2 hold exactly these values (bounce-0 primary rays).  The
+    kernels then run their origin transforms and slab-cull subtractions
+    on the scalars — bit-identical, fewer vector ops (see
+    _tile_update's shared-origin note).
 
     aux is ready for render/fused.py (u, v, t, streams, alive rows filled);
     ``idx_m`` is the MORTON-space triangle index — the fused pipeline's
@@ -1423,12 +1457,15 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     )
     operands.append(heap)
     scratch_shapes.append(pltpu.SMEM((TREE_MAX_STACK,), jnp.int32))
+    use_origin = origin is not None
     if emit_rec:
         kernel = (
-            _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec=True)
+            _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec=True,
+                                     use_origin=use_origin)
             if streaming
             else _make_trace_kernel_t_rec(tile, group_tiles,
-                                          table_hbm=table_hbm)
+                                          table_hbm=table_hbm,
+                                          use_origin=use_origin)
         )
         in_specs.append(
             pl.BlockSpec(
@@ -1443,10 +1480,17 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
         operands.append(rec_table)
     else:
         kernel = (
-            _make_trace_kernel_t_hbm(tile, group_tiles)
+            _make_trace_kernel_t_hbm(tile, group_tiles,
+                                     use_origin=use_origin)
             if streaming
-            else _make_trace_kernel_t(tile, group_tiles)
+            else _make_trace_kernel_t(tile, group_tiles,
+                                      use_origin=use_origin)
         )
+    if use_origin:
+        in_specs.append(
+            pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM)
+        )
+        operands.append(jnp.asarray(origin, jnp.float32).reshape(3))
 
     out = pl.pallas_call(
         kernel,

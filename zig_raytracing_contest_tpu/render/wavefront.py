@@ -434,9 +434,17 @@ def render_wave(
             # winner tile; HBM table/bank slices DMA'd on demand), so
             # shade_fused never pays the (24, R) record gather and the
             # (13, R) u/v recompute gather is gone.
+            from .fused import SHARED_ORIGIN_B0
+
+            # Bounce 0: every lane's origin IS the camera origin (set
+            # above), so the kernels run origin transforms + slab-cull
+            # subtractions on scalars — bit-identical, fewer vector ops.
+            origin = (
+                cam_origin if bounce == 0 and SHARED_ORIGIN_B0 else None
+            )
             aux, tri, rec = trace_emit_aux(
                 scene.mxu, state, rec_table=scene.shade_table_t,
-                interpret=interpret,
+                interpret=interpret, origin=origin,
             )
             state = shade_fused(
                 scene, state, aux, tri, bounce,
