@@ -77,15 +77,9 @@ def main():
                 print(f"{name:9s} {label}: skipped (table_hbm forces "
                       f"deferral)", flush=True)
                 continue
-            # SHARED_ORIGIN_B0 only affects the whole-path gen kernel.
-            if not so:
-                from zig_raytracing_contest_tpu.render.wavefront import (
-                    whole_path_regime,
-                )
-                if not whole_path_regime(sc, use_fused=True):
-                    print(f"{name:9s} {label}: skipped (per-bounce "
-                          f"pipeline; flag is a no-op)", flush=True)
-                    continue
+            # SHARED_ORIGIN_B0 affects every fused regime: the whole-path
+            # gen kernel's bounce 0 AND the per-bounce pipeline's bounce-0
+            # trace_emit_aux(origin=...) — measure it on both workloads.
             med, best = measure(sc, cam, cfg)
             print(f"{name:9s} {label}: median {med:.3f}  best {best:.3f} "
                   f"Mrays/s", flush=True)
