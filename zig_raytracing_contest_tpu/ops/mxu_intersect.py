@@ -898,19 +898,24 @@ SUBBLOCK_SWEEP = 1
 # Measured on the 100k bench: 3.91 → 4.09 Mrays/s.  The whole-path kernel
 # shades in-kernel and always extracts (render/fused.py forces it).
 EXTRACT_UV_IN_KERNEL = False
-# When True (production), the rec-emit kernels extract the winner's packed
-# shade record ONCE per winner tile after traversal instead of once per
-# swept tile (_extract_winner_records): a sorted beam's winners cluster in
-# a few BVH-adjacent tiles, so ~1-4 one-hot dots replace one per swept
-# tile plus its (Kt, LB) sel compare+cast.  False = in-sweep A/B variant.
-REC_EMIT_DEFERRED = True
-# When True (production), each tile sweep folds its winners (iota +
-# candidate min-reduce + best-t/idx/rec ref writes) only when SOME lane
-# actually improved on the running best — exact, because a non-improving
-# sweep writes nothing.  Front-to-back/tree traversal makes most later
-# sweeps non-improving, so the gate skips ~10% of sweep vector ops for
-# one any-reduce + branch.  False = unconditional A/B variant.
-GATE_WINNER_EXTRACT = True
+# When True, the rec-emit kernels extract the winner's packed shade
+# record ONCE per winner tile after traversal instead of once per swept
+# tile (_extract_winner_records).  The round-3 chip A/B
+# (scripts/ab_flags.py) measured the IN-SWEEP variant FASTER on the
+# official bench — 26.9 vs 25.5 Mrays/s median: the deferred pass's
+# winner-tile while_loop + re-slice costs more than the per-sweep
+# (Kt, LB) sel compare+cast it saves on a 7-tile scene — so in-sweep is
+# the production default.  HBM shade tables still force deferral (the
+# table can't be sliced per sweep), which covers every streamed scene.
+REC_EMIT_DEFERRED = False
+# When True, each tile sweep folds its winners (iota + candidate
+# min-reduce + best-t/idx/rec ref writes) only when SOME lane improved —
+# exact, because a non-improving sweep writes nothing.  The round-3 chip
+# A/B (scripts/ab_flags.py) measured the gate as a PESSIMIZATION on both
+# workloads (official 25.5→26.1, large 3.63→3.82 Mrays/s with gate off):
+# the any-reduce + scf branch costs more than the folded vector ops it
+# skips, so unconditional folding is the production default.
+GATE_WINNER_EXTRACT = False
 # DFS stack bound for the OCTAL traversal: each expansion pushes at most
 # 8 children and descends one octal level, so worst-case depth is
 # 8 · ceil(log2(P2)/3) + roots — 54 at P2 = 2^17 (the largest heap the

@@ -50,6 +50,12 @@ SORT_MIN_TRIS = 1 << 16
 # sort the survivors once (see render_wave).
 SORT_AFTER_BOUNCE0 = True
 
+# When False, HBM-streaming scenes (> VMEM_RESIDENT_MAX_TRIS) skip the
+# in-kernel winner-record/u-v emission and fall back to the XLA record
+# gather + recompute_uv — the pre-in-kernel-emission behavior, kept as a
+# same-process A/B lever (scripts/ab_stream_rec.py).
+STREAM_REC_IN_KERNEL = True
+
 
 def _ray_sort_key(scene: DeviceScene, state):
     """int32 sort key per lane: (dead, 6-D Morton of origin × direction).
@@ -442,8 +448,16 @@ def render_wave(
             origin = (
                 cam_origin if bounce == 0 and SHARED_ORIGIN_B0 else None
             )
+            from ..ops.mxu_intersect import VMEM_RESIDENT_MAX_TRIS
+
+            emit_table = scene.shade_table_t
+            if (
+                not STREAM_REC_IN_KERNEL
+                and scene.mxu.tri_data.shape[1] > VMEM_RESIDENT_MAX_TRIS
+            ):
+                emit_table = None  # A/B: XLA gather + recompute_uv instead
             aux, tri, rec = trace_emit_aux(
-                scene.mxu, state, rec_table=scene.shade_table_t,
+                scene.mxu, state, rec_table=emit_table,
                 interpret=interpret, origin=origin,
             )
             state = shade_fused(
