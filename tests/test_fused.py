@@ -257,10 +257,13 @@ def test_path_kernel_matches_bounce_composition(scene_and_rays):
         interpret=True, lane_block=512,
     )
     st = state
+    prev = None  # previous-hit exclusion threads exactly like production
     for bounce in range(max_bounce):
         aux, tri_m, rec = trace_emit_aux(
-            scene.mxu, st, rec_table=scene.shade_table_t, interpret=True
+            scene.mxu, st, rec_table=scene.shade_table_t, interpret=True,
+            prev=prev,
         )
+        prev = tri_m
         st = shade_fused(scene, st, aux, tri_m, bounce, interpret=True, rec=rec)
     a = np.asarray(out_mega)
     b = np.asarray(st)
@@ -447,10 +450,13 @@ def test_path_kernel_paged_matches_bounce_composition(paged_scene_and_rays):
         interpret=True, lane_block=512,
     )
     st = state
+    prev = None  # previous-hit exclusion threads exactly like production
     for bounce in range(max_bounce):
         aux, tri_m, rec = trace_emit_aux(
-            scene.mxu, st, rec_table=scene.shade_table_t, interpret=True
+            scene.mxu, st, rec_table=scene.shade_table_t, interpret=True,
+            prev=prev,
         )
+        prev = tri_m
         st = shade_fused(scene, st, aux, tri_m, bounce, interpret=True, rec=rec)
     a = np.asarray(out_mega)
     bst = np.asarray(st)

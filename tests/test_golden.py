@@ -10,13 +10,18 @@ AlphaBlendModeTest categories OPAQUE/MASK/BLEND with clamp sampling)
 Renders are deterministic per seed on the CPU backend; the tolerance only
 absorbs float-reassociation across jax/XLA versions.
 
-On-chip note (validated on the real v5e): the fused TPU path reproduces
-golden_duckish within 0.2% of pixels, but golden_alpha_modes diverges
-15.7% at 4 spp — Mosaic's FMA contraction differs from XLA:CPU by ULPs,
-and this asset's alpha RAMP turns ULP-level u/v differences into flipped
-stochastic-alpha decisions (whole-sample divergence).  It is flip NOISE,
-not bias: the same two paths at 64 spp agree to mean |diff| 0.33/255.
-The suite compares on the CPU backend where both paths are bit-stable.
+On-chip note (root-caused on the real v5e, round 3): the fused TPU path
+reproduces golden_duckish within 0.2% of pixels, but alpha_modes diverges
+in the alpha-tested regions on ANY backend pair.  The reference's alpha
+pass-through re-originates at ray.at(t + floatEps(f32))
+(/root/reference/src/stage3.zig:209, mirrored here) — an absolute 1.19e-7
+nudge that is a rounding no-op once t >= 2, so whether the re-trace
+phantom-re-hits the same triangle is decided by backend rounding (measured:
+XLA:CPU re-hits 1085/1957 pass-throughs, TPU 536).  Each phantom re-hit
+burns a bounce + an RNG draw, decorrelating trajectories completely in
+alpha regions; outside them CPU and TPU are bit-exact.  The on-chip gate
+(scripts/golden_tpu.py) therefore asserts a region-aware statistical bound;
+this suite compares on the CPU backend where renders are bit-stable.
 """
 
 from pathlib import Path

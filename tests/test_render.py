@@ -98,6 +98,42 @@ def test_mxu_backend_matches_grid_trace(box, box_mxu):
     np.testing.assert_allclose(vg[both_hit], vm[both_hit], atol=1e-3)
 
 
+def test_previous_hit_exclusion(box, box_mxu):
+    """Continuation rays can never phantom-re-hit their own triangle.
+
+    The reference's ``t + floatEps`` nudge (src/stage3.zig:209,216) is a
+    rounding no-op at t >= 2, so without exclusion a re-trace from the hit
+    point re-hits the SAME triangle at t ~ 0 purely by backend rounding
+    (EXCLUDE_PREV_HIT docstring, ops/mxu_intersect.py).  Both backends:
+    re-trace with exclude=<hit tri> must (a) never return the same
+    triangle, (b) never return a t ~ 0 phantom."""
+    from zig_raytracing_contest_tpu.render.wavefront import (
+        FLT_EPSILON, trace_any,
+    )
+
+    _, _, cam, _, _, scene_grid = box
+    _, scene_mxu = box_mxu
+    orig, dirs = primary_rays(cam, W, H)
+    o, d, act = jnp.asarray(orig), jnp.asarray(dirs), jnp.ones(W * H, bool)
+    for scene in (scene_grid, scene_mxu):
+        t, u, v, tri = (np.asarray(x) for x in trace_any(scene, o, d, act))
+        hit = np.isfinite(t)
+        assert hit.any()
+        new_o = orig + dirs * (t + FLT_EPSILON).reshape(-1, 1)
+        t2, _, _, tri2 = (
+            np.asarray(x)
+            for x in trace_any(
+                scene, jnp.asarray(new_o), d, jnp.asarray(hit),
+                exclude=jnp.asarray(tri),
+            )
+        )
+        hit2 = np.isfinite(t2) & hit
+        assert not (tri2[hit2] == tri[hit2]).any(), "re-hit own triangle"
+        # In the closed box every continuation hit is a real far wall, not
+        # a t~0 phantom of the origin surface.
+        assert (t2[hit2] > 1e-3).all()
+
+
 def test_mxu_render_close_to_grid_render(box, box_mxu):
     _, _, cam, _, _, scene_grid = box
     _, scene_mxu = box_mxu

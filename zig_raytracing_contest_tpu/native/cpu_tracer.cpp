@@ -151,7 +151,14 @@ inline bool slab(V3 o, V3 d, V3 bmin, V3 bmax, float* t_entry) {
 constexpr int kAxisMap[8] = {2, 1, 2, 1, 2, 2, 0, 0};
 
 // Grid DDA + MT nearest hit (src/stage3.zig:152-186 semantics).
-inline bool trace(const Scene& s, V3 o, V3 d, Hit* hit) {
+// `exclude`: unique-space index of the ray's previous hit, which a
+// continuation ray may never re-hit — a same-triangle re-hit from a point
+// on the triangle's own plane is always a rounding phantom (the
+// reference's t + floatEps nudge is a no-op at t >= 2); excluding it
+// keeps this baseline deterministic and consistent with the TPU paths
+// (ops/mxu_intersect.py EXCLUDE_PREV_HIT).
+inline bool trace(const Scene& s, V3 o, V3 d, Hit* hit,
+                  int32_t exclude = -1) {
   float t_entry;
   if (!slab(o, d, s.bbox_min,
             {s.bbox_min.x + s.cell_size.x * s.res[0],
@@ -202,7 +209,7 @@ inline bool trace(const Scene& s, V3 o, V3 d, Hit* hit) {
       float v = dot(d, qvec) * inv_det;
       if (v < 0.0f || u + v > 1.0f) continue;
       float t = dot(e2, qvec) * inv_det;
-      if (t > 0.0f && t < nearest) {
+      if (t > 0.0f && t < nearest && s.dup_to_tri[i] != exclude) {
         nearest = t;
         nu = u;
         nv = v;
@@ -278,10 +285,11 @@ extern "C" int64_t zrc_cpu_render(
       V3 o = origin;
       V3 radiance = {0, 0, 0};
       V3 throughput = {1, 1, 1};
+      int32_t prev = -1;  // previous-hit exclusion (see trace())
       for (int32_t b = 0; b < max_bounce; ++b) {
         ++segments;
         Hit hit;
-        if (!trace(s, o, d, &hit)) {
+        if (!trace(s, o, d, &hit, prev)) {
           // sky gradient (src/stage3.zig:144-150)
           float t = 0.5f * (d.y + 1.0f);
           radiance.x += throughput.x * (1.0f - 0.5f * t);
@@ -290,6 +298,7 @@ extern "C" int64_t zrc_cpu_render(
           break;
         }
         const float* rec = s.shade_table + 32 * hit.tri;
+        prev = hit.tri;
         float w0 = 1.0f - hit.u - hit.v;
         float tcu = rec[kColUv + 0] * w0 + rec[kColUv + 2] * hit.u +
                     rec[kColUv + 4] * hit.v;

@@ -335,8 +335,14 @@ def recompute_uv(tris: MXUTriangles, state16, aux, idx):
     return jnp.concatenate([u[None], v[None], aux[2:]], axis=0)
 
 
-def nearest_hit_xla(tris: MXUTriangles, orig, direction, active, tile: int | None = None):
-    """Portable tile scan (CPU tests / fallback).  Returns (t, idx_morton)."""
+def nearest_hit_xla(tris: MXUTriangles, orig, direction, active, tile: int | None = None,
+                    exclude=None):
+    """Portable tile scan (CPU tests / fallback).  Returns (t, idx_morton).
+
+    ``exclude``: optional (R,) int32 UNIQUE-space triangle index each ray
+    may not hit again (EXCLUDE_PREV_HIT — the previous hit; see the flag's
+    docstring).  Compared via the per-tile slice of ``tris.perm`` so the
+    semantics match the kernels' Morton-space compare exactly."""
     if tile is None:
         tile = tris.tile
     R = orig.shape[0]
@@ -350,6 +356,9 @@ def nearest_hit_xla(tris: MXUTriangles, orig, direction, active, tile: int | Non
         s = tile_idx * tile
         rows = jax.lax.dynamic_slice(tris.tri_data, (0, s), (_ROWS, tile))
         t, u, v, ok = _intersect_tile(ox, oy, oz, dx, dy, dz, rows)
+        if exclude is not None:
+            pm = jax.lax.dynamic_slice(tris.perm, (s,), (tile,))
+            ok = ok & (pm[None, :] != exclude[:, None])
         t = jnp.where(ok, t, INF)
         tile_min = jnp.min(t, axis=1)
         ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
@@ -382,12 +391,16 @@ from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 
-def nearest_hit_mxu(tris: MXUTriangles, orig, direction, active):
+def nearest_hit_mxu(tris: MXUTriangles, orig, direction, active,
+                    exclude=None):
     """Ray-major nearest hit over the XLA tile scan (non-fused fallback:
     CPU tests, shard_map oracle).  On TPU the production path is the
     field-major ``trace_emit_aux`` kernel driven by render/fused.py.
-    Returns (t, u, v, unique_tri_idx); inactive rays report t = inf."""
-    t, idx_m, u, v = nearest_hit_xla(tris, orig, direction, active)
+    Returns (t, u, v, unique_tri_idx); inactive rays report t = inf.
+    ``exclude``: optional (R,) int32 unique-space previous-hit index
+    (see nearest_hit_xla)."""
+    t, idx_m, u, v = nearest_hit_xla(tris, orig, direction, active,
+                                     exclude=exclude)
     t = jnp.where(active, t, INF)  # uniform miss-on-inactive contract
     hit = jnp.isfinite(t)
     u = jnp.where(hit, u, 0.0)
@@ -429,7 +442,7 @@ VMEM_WIDE_BLOCK_MAX_TRIS = 1 << 16
 
 def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
                  sl=slice(None), table_rows=None, rec_ref=None,
-                 extract_uv=True, origin=None):
+                 extract_uv=True, origin=None, prev=None):
     """Intersect one (13, Kt) transform tile against the lane rays and fold
     the winners into the running-nearest refs.  Shared by the VMEM-resident
     and HBM-streaming trace kernels.  ``sl`` restricts the update to a
@@ -507,6 +520,14 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
         & (u + v <= 1.0)
         & (t > 0.0)
     )
+    if prev is not None:
+        # EXCLUDE_PREV_HIT: a same-triangle re-hit from a point on the
+        # triangle's own plane is a rounding phantom (see the flag's
+        # docstring above); masking it is exact.  Costs one iota + compare
+        # per sweep, paid on continuation bounces only (prev is None for
+        # primaries).
+        gid = s + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        ok = ok & (gid != prev[sl][None, :])
     t = jnp.where(ok, t, INF)
     tile_min = jnp.min(t, axis=0)  # (LB,)
     best_t = aux_ref[2, sl]
@@ -916,6 +937,23 @@ REC_EMIT_DEFERRED = False
 # the any-reduce + scf branch costs more than the folded vector ops it
 # skips, so unconditional folding is the production default.
 GATE_WINNER_EXTRACT = False
+# Deterministic previous-hit exclusion (round 3).  The reference's
+# continuation rays re-originate at ray.at(t + floatEps(f32))
+# (src/stage3.zig:209,216) — an ABSOLUTE 1.19e-7 nudge that is a rounding
+# NO-OP once t >= 2 (ULP(2) = 2.4e-7), so whether the new trace
+# phantom-re-hits the SAME triangle at t ~ 0 is decided by backend
+# rounding luck (measured on the alpha_modes golden: XLA:CPU re-hits
+# 1085/1957 alpha pass-throughs, the TPU path 536; each phantom re-hit
+# burns a bounce + an RNG draw, fully decorrelating backends in
+# alpha-tested regions — two builds of the reference itself would diverge
+# the same way).  A same-triangle re-hit from a point on the triangle's
+# own plane is ALWAYS phantom: with front-face culling (det >= eps) a
+# second legitimate front-face crossing of the same plane cannot exist.
+# With this flag every trace path excludes the ray's previous hit
+# triangle, making renders deterministic across backends (and saving the
+# wasted re-trace bounce); False restores the reference's rounding-luck
+# behavior for A/B.
+EXCLUDE_PREV_HIT = True
 # DFS stack bound for the OCTAL traversal: each expansion pushes at most
 # 8 children and descends one octal level, so worst-case depth is
 # 8 · ceil(log2(P2)/3) + roots — 54 at P2 = 2^17 (the largest heap the
@@ -928,7 +966,7 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
                          idx_ref, tmin_ref, table_ref=None, rec_ref=None,
                          tile=TRI_TILE, group_tiles=GROUP_TILES,
                          tree_ref=None, stack_ref=None, extract_uv=None,
-                         table_hbm: bool = False, origin=None):
+                         table_hbm: bool = False, origin=None, prev=None):
     Tp = tri_ref.shape[1]
     num_tiles = bbox_ref.shape[1]  # REAL tiles (loop bound)
     num_groups = gbox_ref.shape[1]
@@ -988,7 +1026,7 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
                         rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
                         aux_ref, idx_ref, sl=sl, table_rows=table_rows,
                         rec_ref=sweep_rec, extract_uv=extract_uv,
-                        origin=origin,
+                        origin=origin, prev=prev,
                     )
             return
         _tile_update(
@@ -998,6 +1036,7 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
             rec_ref=sweep_rec,
             extract_uv=extract_uv,
             origin=origin,
+            prev=prev,
         )
 
     def visit_tile(jt, real):
@@ -1162,51 +1201,66 @@ def _origin3(origin_ref):
     return (origin_ref[0], origin_ref[1], origin_ref[2])
 
 
-def _make_trace_kernel_t(tile, group_tiles, use_origin: bool = False):
+def _prev_vec(prev_ref):
+    """(1, LB) int32 previous-hit input → (LB,) vector (or None)."""
+    if prev_ref is None:
+        return None
+    return prev_ref[0, :]
+
+
+def _make_trace_kernel_t(tile, group_tiles, use_origin: bool = False,
+                         use_prev: bool = False):
     def _trace_kernel_t(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
                         *rest):
         origin_ref, rest = (rest[0], rest[1:]) if use_origin else (None, rest)
+        prev_ref, rest = (rest[0], rest[1:]) if use_prev else (None, rest)
         aux_ref, idx_ref, tmin_ref, stack_ref = rest
         _trace_body_resident(
             state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             tmin_ref, tile=tile, group_tiles=group_tiles,
             tree_ref=tree_ref, stack_ref=stack_ref,
-            origin=_origin3(origin_ref),
+            origin=_origin3(origin_ref), prev=_prev_vec(prev_ref),
         )
 
     return _trace_kernel_t
 
 
 def _make_trace_kernel_t_rec(tile, group_tiles, table_hbm: bool = False,
-                             use_origin: bool = False):
+                             use_origin: bool = False,
+                             use_prev: bool = False):
     def _trace_kernel_t_rec(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
                             table_ref, *rest):
         origin_ref, rest = (rest[0], rest[1:]) if use_origin else (None, rest)
+        prev_ref, rest = (rest[0], rest[1:]) if use_prev else (None, rest)
         aux_ref, idx_ref, rec_ref, tmin_ref, stack_ref = rest
         _trace_body_resident(
             state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             tmin_ref, table_ref, rec_ref, tile=tile, group_tiles=group_tiles,
             tree_ref=tree_ref, stack_ref=stack_ref, table_hbm=table_hbm,
-            origin=_origin3(origin_ref),
+            origin=_origin3(origin_ref), prev=_prev_vec(prev_ref),
         )
 
     return _trace_kernel_t_rec
 
 
 def _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec: bool = False,
-                             use_origin: bool = False):
+                             use_origin: bool = False,
+                             use_prev: bool = False):
     if emit_rec:
         def _trace_kernel_t_hbm_rec(state_ref, tri_hbm_ref, bbox_ref,
                                     gbox_ref, gtree_ref, table_ref, *rest):
             origin_ref, rest = (
                 (rest[0], rest[1:]) if use_origin else (None, rest)
             )
+            prev_ref, rest = (
+                (rest[0], rest[1:]) if use_prev else (None, rest)
+            )
             aux_ref, idx_ref, rec_ref, tmin_ref, stack_ref = rest
             _trace_kernel_t_hbm_body(
                 state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
                 tmin_ref, tile, group_tiles, gtree_ref, stack_ref,
                 table_ref=table_ref, rec_ref=rec_ref,
-                origin=_origin3(origin_ref),
+                origin=_origin3(origin_ref), prev=_prev_vec(prev_ref),
             )
 
         return _trace_kernel_t_hbm_rec
@@ -1214,11 +1268,12 @@ def _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec: bool = False,
     def _trace_kernel_t_hbm(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                             gtree_ref, *rest):
         origin_ref, rest = (rest[0], rest[1:]) if use_origin else (None, rest)
+        prev_ref, rest = (rest[0], rest[1:]) if use_prev else (None, rest)
         aux_ref, idx_ref, tmin_ref, stack_ref = rest
         _trace_kernel_t_hbm_body(
             state_ref, tri_hbm_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
             tmin_ref, tile, group_tiles, gtree_ref, stack_ref,
-            origin=_origin3(origin_ref),
+            origin=_origin3(origin_ref), prev=_prev_vec(prev_ref),
         )
 
     return _trace_kernel_t_hbm
@@ -1227,7 +1282,7 @@ def _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec: bool = False,
 def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                              aux_ref, idx_ref, tmin_ref, tile, group_tiles,
                              gtree_ref=None, stack_ref=None, table_ref=None,
-                             rec_ref=None, origin=None):
+                             rec_ref=None, origin=None, prev=None):
     """HBM-streaming variant: the transform bank stays in HBM.  The
     front-to-back group cull gates the DMA stream — a culled group of
     ``group_tiles`` tiles costs one slab test and moves ZERO bytes (r1
@@ -1310,14 +1365,14 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                                     d[0], d[1], d[2], s, Tp, aux_ref,
                                     idx_ref, sl=sl,
                                     extract_uv=extract_uv,
-                                    origin=origin,
+                                    origin=origin, prev=prev,
                                 )
                     else:
                         _tile_update(
                             scratch[slot], o[0], o[1], o[2], d[0], d[1],
                             d[2], s, Tp, aux_ref, idx_ref,
                             extract_uv=extract_uv,
-                            origin=origin,
+                            origin=origin, prev=prev,
                         )
 
                 return 0
@@ -1383,7 +1438,7 @@ REC_EMIT_MAX_TRIS = 1 << 15
 
 @partial(jax.jit, static_argnames=("interpret",))
 def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
-                   interpret: bool = False, origin=None):
+                   interpret: bool = False, origin=None, prev=None):
     """Field-major nearest hit: (16, R) state → (aux (8, R), idx_m (R,),
     rec (24, R) | None).
 
@@ -1392,6 +1447,11 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     kernels then run their origin transforms and slab-cull subtractions
     on the scalars — bit-identical, fewer vector ops (see
     _tile_update's shared-origin note).
+
+    ``prev``: optional (R,) int32 MORTON-space index of each ray's
+    previous hit triangle (EXCLUDE_PREV_HIT); the sweeps mask it out so
+    the continuation ray can never phantom-re-hit its own origin
+    triangle.  Pass None for primary rays.
 
     aux is ready for render/fused.py (u, v, t, streams, alive rows filled);
     ``idx_m`` is the MORTON-space triangle index — the fused pipeline's
@@ -1463,14 +1523,17 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     operands.append(heap)
     scratch_shapes.append(pltpu.SMEM((TREE_MAX_STACK,), jnp.int32))
     use_origin = origin is not None
+    use_prev = prev is not None and EXCLUDE_PREV_HIT
     if emit_rec:
         kernel = (
             _make_trace_kernel_t_hbm(tile, group_tiles, emit_rec=True,
-                                     use_origin=use_origin)
+                                     use_origin=use_origin,
+                                     use_prev=use_prev)
             if streaming
             else _make_trace_kernel_t_rec(tile, group_tiles,
                                           table_hbm=table_hbm,
-                                          use_origin=use_origin)
+                                          use_origin=use_origin,
+                                          use_prev=use_prev)
         )
         in_specs.append(
             pl.BlockSpec(
@@ -1486,16 +1549,24 @@ def trace_emit_aux(tris: MXUTriangles, state16, rec_table=None,
     else:
         kernel = (
             _make_trace_kernel_t_hbm(tile, group_tiles,
-                                     use_origin=use_origin)
+                                     use_origin=use_origin,
+                                     use_prev=use_prev)
             if streaming
             else _make_trace_kernel_t(tile, group_tiles,
-                                      use_origin=use_origin)
+                                      use_origin=use_origin,
+                                      use_prev=use_prev)
         )
     if use_origin:
         in_specs.append(
             pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM)
         )
         operands.append(jnp.asarray(origin, jnp.float32).reshape(3))
+    if use_prev:
+        in_specs.append(
+            pl.BlockSpec((1, lane_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(prev.reshape(1, R).astype(jnp.int32))
 
     out = pl.pallas_call(
         kernel,

@@ -675,17 +675,42 @@ PATH_LANE_BLOCK = 1024
 
 
 def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
-                      group_tiles: int, bounce0: int = 0):
-    from ..ops.mxu_intersect import _trace_body_resident
+                      group_tiles: int, bounce0: int = 0,
+                      use_prev: bool = False, emit_idx: bool = False):
+    from ..ops.mxu_intersect import (
+        EXCLUDE_PREV_HIT, _prev_vec, _trace_body_resident,
+    )
 
     def _path_kernel(state_ref, tri_ref, bbox_ref, gbox_ref, tree_ref,
-                     table_ref, bank_ref, out_ref, aux_ref, idx_ref, rec_ref,
-                     tmin_ref, stack_ref):
+                     table_ref, bank_ref, *rest):
+        # Optional previous-hit input (continuation kernels, bounce0 > 0)
+        # precedes the outputs; with emit_idx the winner-idx buffer is the
+        # SECOND OUTPUT (the caller continues the path after a resort and
+        # must seed the next kernel's exclusion), else scratch.
+        prev_ref, rest = (rest[0], rest[1:]) if use_prev else (None, rest)
+        if emit_idx:
+            out_ref, idx_ref, aux_ref, rec_ref, tmin_ref, stack_ref = rest
+        else:
+            out_ref, aux_ref, idx_ref, rec_ref, tmin_ref, stack_ref = rest
         out_ref[:, :] = state_ref[:, :]
         for bounce in range(bounce0, bounce0 + max_bounce):
 
             @pl.when(jnp.any(out_ref[12, :] > 0.0))
             def _(bounce=bounce):
+                if not EXCLUDE_PREV_HIT:
+                    prev = None
+                elif bounce == bounce0:
+                    # Primaries (bounce 0) have no previous hit; resumed
+                    # kernels (bounce0 > 0) get it from the prev input.
+                    prev = _prev_vec(prev_ref)
+                else:
+                    # In-kernel continuation: the previous bounce's winner
+                    # is still in idx_ref (read into a value BEFORE the
+                    # trace body re-initializes the buffer).  Dead-block
+                    # skipping cannot leak another bounce range's idx:
+                    # alive only decreases, so reaching bounce b > bounce0
+                    # implies this block traced at b - 1.
+                    prev = idx_ref[0, :]
                 _trace_body_resident(
                     out_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
                     tmin_ref, table_ref, rec_ref,
@@ -694,6 +719,7 @@ def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
                     # Shading runs in-kernel off aux rows 0/1 — UV must be
                     # extracted here regardless of EXTRACT_UV_IN_KERNEL.
                     extract_uv=True,
+                    prev=prev,
                 )
                 _shade1_body(rec_ref, aux_ref, out_ref, bank_ref, out_ref,
                              bounce, emissive_dummy)
@@ -870,12 +896,16 @@ SHARED_ORIGIN_B0 = True
 
 
 def _make_path_kernel_gen(max_bounce: int, emissive_dummy: bool, tile: int,
-                          group_tiles: int, gen: GenParams, emit_key: bool):
-    from ..ops.mxu_intersect import _trace_body_resident
+                          group_tiles: int, gen: GenParams, emit_key: bool,
+                          emit_idx: bool = False):
+    from ..ops.mxu_intersect import EXCLUDE_PREV_HIT, _trace_body_resident
 
     def _path_kernel_gen(par_ref, meta_ref, tri_ref, bbox_ref, gbox_ref,
-                         tree_ref, table_ref, bank_ref, out_ref, aux_ref,
-                         idx_ref, rec_ref, tmin_ref, stack_ref):
+                         tree_ref, table_ref, bank_ref, *rest):
+        if emit_idx:
+            out_ref, idx_ref, aux_ref, rec_ref, tmin_ref, stack_ref = rest
+        else:
+            out_ref, aux_ref, idx_ref, rec_ref, tmin_ref, stack_ref = rest
         _gen_rays(par_ref, meta_ref, out_ref, gen)
         for bounce in range(max_bounce):
             origin = None
@@ -884,6 +914,12 @@ def _make_path_kernel_gen(max_bounce: int, emissive_dummy: bool, tile: int,
 
             @pl.when(jnp.any(out_ref[12, :] > 0.0))
             def _(bounce=bounce, origin=origin):
+                # Previous-hit exclusion (see _make_path_kernel): bounce 0
+                # is always primaries here — in-kernel ray gen.
+                prev = (
+                    idx_ref[0, :]
+                    if bounce > 0 and EXCLUDE_PREV_HIT else None
+                )
                 _trace_body_resident(
                     out_ref, tri_ref, bbox_ref, gbox_ref, aux_ref, idx_ref,
                     tmin_ref, table_ref, rec_ref,
@@ -893,6 +929,7 @@ def _make_path_kernel_gen(max_bounce: int, emissive_dummy: bool, tile: int,
                     # extracted here regardless of EXTRACT_UV_IN_KERNEL.
                     extract_uv=True,
                     origin=origin,
+                    prev=prev,
                 )
                 _shade1_body(rec_ref, aux_ref, out_ref, bank_ref, out_ref,
                              bounce, emissive_dummy)
@@ -906,7 +943,7 @@ def _make_path_kernel_gen(max_bounce: int, emissive_dummy: bool, tile: int,
 @partial(
     jax.jit,
     static_argnames=("wave_size", "max_bounce", "emissive_dummy", "gen",
-                     "emit_key", "interpret", "lane_block"),
+                     "emit_key", "emit_idx", "interpret", "lane_block"),
 )
 def path_trace_gen(
     tris,  # ops.mxu_intersect.MXUTriangles (VMEM-resident, rec-emit sized)
@@ -919,21 +956,43 @@ def path_trace_gen(
     emissive_dummy: bool,
     gen: GenParams,
     emit_key: bool = False,
+    emit_idx: bool = False,
     interpret: bool = False,
     lane_block: int = PATH_LANE_BLOCK,
 ):
     """Generate one wave of primary rays IN-KERNEL and path-trace the first
     ``max_bounce`` bounces in the same Pallas call.  Returns the (16, R)
     state; with ``emit_key`` row 15 carries the beam-sort key (bitcast
-    int32) for the caller's argsort."""
+    int32) for the caller's argsort.  With ``emit_idx`` returns
+    (state, idx (1, R) int32): the last bounce's winner triangle per lane,
+    which seeds the continuation kernel's previous-hit exclusion
+    (EXCLUDE_PREV_HIT); all-dead blocks leave their idx slice unwritten —
+    their lanes are dead, so the exclusion value is never consumed."""
     R = wave_size
     assert R % lane_block == 0, f"wave {R} not a multiple of {lane_block}"
     num_groups = tris.group_bbox.shape[1]
     nb = R // lane_block
 
+    out_specs = [pl.BlockSpec((16, lane_block), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((16, R), jnp.float32)]
+    scratch_shapes = [
+        pltpu.VMEM((8, lane_block), jnp.float32),  # aux (running best)
+        pltpu.VMEM((1, lane_block), jnp.int32),  # winner idx
+        pltpu.VMEM((24, lane_block), jnp.float32),  # winner record
+        pltpu.SMEM((num_groups,), jnp.float32),  # group entry t
+        pltpu.SMEM((TREE_MAX_STACK,), jnp.int32),  # tree DFS stack
+    ]
+    if emit_idx:
+        out_specs.append(pl.BlockSpec((1, lane_block), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, R), jnp.int32))
+        del scratch_shapes[1]  # winner idx is an output now
+
     out = pl.pallas_call(
         _make_path_kernel_gen(max_bounce, emissive_dummy, tris.tile,
-                              tris.group_tiles, gen, emit_key),
+                              tris.group_tiles, gen, emit_key,
+                              emit_idx=emit_idx),
         grid=(nb,),
         interpret=interpret,
         in_specs=[
@@ -953,16 +1012,9 @@ def path_trace_gen(
                          memory_space=pltpu.VMEM),
             _bank_spec(bank),
         ],
-        out_specs=pl.BlockSpec((16, lane_block), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((16, R), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((8, lane_block), jnp.float32),  # aux (running best)
-            pltpu.VMEM((1, lane_block), jnp.int32),  # winner idx
-            pltpu.VMEM((24, lane_block), jnp.float32),  # winner record
-            pltpu.SMEM((num_groups,), jnp.float32),  # group entry t
-            pltpu.SMEM((TREE_MAX_STACK,), jnp.int32),  # tree DFS stack
-        ],
+        out_specs=out_specs if emit_idx else out_specs[0],
+        out_shape=out_shape if emit_idx else out_shape[0],
+        scratch_shapes=scratch_shapes,
     )(par, meta, tris.tri_data, tris.tile_bbox, tris.group_bbox,
       tris.tree_bbox, rec_table, bank)
     return out
@@ -971,7 +1023,7 @@ def path_trace_gen(
 @partial(
     jax.jit,
     static_argnames=("max_bounce", "emissive_dummy", "interpret",
-                     "lane_block", "bounce0"),
+                     "lane_block", "bounce0", "emit_idx"),
 )
 def path_trace_fused(
     tris,  # ops.mxu_intersect.MXUTriangles (VMEM-resident, rec-emit sized)
@@ -983,49 +1035,72 @@ def path_trace_fused(
     interpret: bool = False,
     lane_block: int = PATH_LANE_BLOCK,
     bounce0: int = 0,
+    prev=None,  # (R,) int32 previous-hit idx (bounce0 > 0 continuations)
+    emit_idx: bool = False,
 ):
     """Path-trace ``max_bounce`` bounces (globally numbered from
     ``bounce0`` — the RNG decorrelation tags are per absolute bounce) in
     one kernel.  Returns the final (16, R) state (radiance rows 9-11,
     segment row 14), identical to composing trace_emit_aux + shade_fused
-    over the same bounce range."""
+    over the same bounce range.  ``prev``/``emit_idx``: previous-hit
+    exclusion plumbing across a caller's resort — see path_trace_gen."""
+    from ..ops.mxu_intersect import EXCLUDE_PREV_HIT
+
     R = state16.shape[1]
     assert R % lane_block == 0, f"wave {R} not a multiple of {lane_block}"
     num_groups = tris.group_bbox.shape[1]
     nb = R // lane_block
+    use_prev = prev is not None and EXCLUDE_PREV_HIT
+
+    in_specs = [
+        pl.BlockSpec((16, lane_block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(tris.group_bbox.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(tris.tree_bbox.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(rec_table.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        _bank_spec(bank),
+    ]
+    operands = [state16, tris.tri_data, tris.tile_bbox, tris.group_bbox,
+                tris.tree_bbox, rec_table, bank]
+    if use_prev:
+        in_specs.append(pl.BlockSpec((1, lane_block), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(prev.reshape(1, R).astype(jnp.int32))
+
+    out_specs = [pl.BlockSpec((16, lane_block), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((16, R), jnp.float32)]
+    scratch_shapes = [
+        pltpu.VMEM((8, lane_block), jnp.float32),  # aux (running best)
+        pltpu.VMEM((1, lane_block), jnp.int32),  # winner idx
+        pltpu.VMEM((24, lane_block), jnp.float32),  # winner record
+        pltpu.SMEM((num_groups,), jnp.float32),  # group entry t
+        pltpu.SMEM((TREE_MAX_STACK,), jnp.int32),  # tree DFS stack
+    ]
+    if emit_idx:
+        out_specs.append(pl.BlockSpec((1, lane_block), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, R), jnp.int32))
+        del scratch_shapes[1]  # winner idx is an output now
 
     out = pl.pallas_call(
         _make_path_kernel(max_bounce, emissive_dummy, tris.tile,
-                          tris.group_tiles, bounce0),
+                          tris.group_tiles, bounce0,
+                          use_prev=use_prev, emit_idx=emit_idx),
         grid=(nb,),
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((16, lane_block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tris.tri_data.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tris.tile_bbox.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(tris.group_bbox.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(tris.tree_bbox.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(rec_table.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            _bank_spec(bank),
-        ],
-        out_specs=pl.BlockSpec((16, lane_block), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((16, R), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((8, lane_block), jnp.float32),  # aux (running best)
-            pltpu.VMEM((1, lane_block), jnp.int32),  # winner idx
-            pltpu.VMEM((24, lane_block), jnp.float32),  # winner record
-            pltpu.SMEM((num_groups,), jnp.float32),  # group entry t
-            pltpu.SMEM((TREE_MAX_STACK,), jnp.int32),  # tree DFS stack
-        ],
-    )(state16, tris.tri_data, tris.tile_bbox, tris.group_bbox,
-      tris.tree_bbox, rec_table, bank)
+        in_specs=in_specs,
+        out_specs=out_specs if emit_idx else out_specs[0],
+        out_shape=out_shape if emit_idx else out_shape[0],
+        scratch_shapes=scratch_shapes,
+    )(*operands)
     return out
 
 

@@ -10,12 +10,21 @@ hit with ``t > 0`` filter, back-face culling via MT det, FLT_EPSILON origin
 offset, stochastic alpha pass-through that keeps the direction and consumes a
 bounce, ``emissive + albedo * recurse(depth-1)``, sky gradient on miss, and
 the reference's frac(u)-weight bilinear sampling.
+
+One deliberate divergence (shared by every backend in this repo):
+previous-hit exclusion.  The reference's ``t + floatEps`` nudge is a
+rounding no-op at t >= 2, so whether a continuation ray phantom-re-hits
+its own triangle is compiler/rounding luck even between two builds of the
+reference itself; excluding the previous hit (always a phantom for planar
+front-face-culled triangles) makes renders deterministic across backends.
+See ops.mxu_intersect.EXCLUDE_PREV_HIT.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from ..ops.mxu_intersect import EXCLUDE_PREV_HIT
 from ..scene.geometry import GeometryArrays
 from ..scene.materials import MaterialBank
 
@@ -23,8 +32,9 @@ MT_EPS = 1e-8
 FLT_EPSILON = float(np.finfo(np.float32).eps)
 
 
-def trace_brute(orig, direction, v0, e1, e2):
-    """Nearest t>0 hit over all triangles. Returns (t, u, v, idx); t=inf miss."""
+def trace_brute(orig, direction, v0, e1, e2, exclude=-1):
+    """Nearest t>0 hit over all triangles. Returns (t, u, v, idx); t=inf miss.
+    ``exclude``: triangle index the ray may not hit (its previous hit)."""
     orig = orig.astype(np.float32)
     direction = direction.astype(np.float32)
     pvec = np.cross(direction, e2)
@@ -37,6 +47,8 @@ def trace_brute(orig, direction, v0, e1, e2):
         v = np.sum(direction * qvec, axis=-1) * inv_det
         t = np.sum(e2 * qvec, axis=-1) * inv_det
     valid = (det >= MT_EPS) & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 0)
+    if exclude >= 0:
+        valid = valid & (np.arange(len(det)) != exclude)
     t = np.where(valid, t, np.inf)
     idx = int(np.argmin(t))
     if not np.isfinite(t[idx]):
@@ -83,13 +95,17 @@ class Oracle:
         self.e1 = p[:, 1] - p[:, 0]
         self.e2 = p[:, 2] - p[:, 0]
 
-    def trace(self, orig, direction):
-        return trace_brute(orig, direction, self.v0, self.e1, self.e2)
+    def trace(self, orig, direction, exclude=-1):
+        return trace_brute(orig, direction, self.v0, self.e1, self.e2,
+                           exclude=exclude)
 
-    def trace_recursive(self, orig, direction, depth, rng: np.random.Generator):
+    def trace_recursive(self, orig, direction, depth,
+                        rng: np.random.Generator, prev=-1):
         if depth == 0:
             return np.zeros(3, np.float32)
-        t, u, v, idx = self.trace(orig, direction)
+        if not EXCLUDE_PREV_HIT:
+            prev = -1
+        t, u, v, idx = self.trace(orig, direction, exclude=prev)
         if not np.isfinite(t):
             return env_color(direction)
 
@@ -107,13 +123,14 @@ class Oracle:
 
         new_orig = orig + direction * (t + FLT_EPSILON)
         if rng.random() > opacity:
-            return self.trace_recursive(new_orig, direction, depth - 1, rng)
+            return self.trace_recursive(new_orig, direction, depth - 1, rng,
+                                        prev=idx)
         runit = rng.standard_normal(3)
         runit /= np.linalg.norm(runit)
         scattered = normal + runit
         scattered = scattered / np.linalg.norm(scattered)
         return emissive + albedo * self.trace_recursive(
-            new_orig, scattered, depth - 1, rng
+            new_orig, scattered, depth - 1, rng, prev=idx
         )
 
     def render_pixel(self, camera, px, py, spp, max_bounce, rng):

@@ -7,7 +7,11 @@ bounce is one vectorized round over (R,) rays carrying radiance / throughput
 albedo * recurse(depth-1)`` as ``radiance += throughput * emissive;
 throughput *= albedo`` and the stochastic-alpha pass-through
 (src/stage3.zig:207-213: same direction, origin offset by t + FLT_EPSILON,
-consumes a bounce) as a masked direction hold.
+consumes a bounce) as a masked direction hold.  Continuation traces exclude
+the previous hit triangle (ops.mxu_intersect.EXCLUDE_PREV_HIT): the
+reference's nudge is a rounding no-op at t >= 2, so same-triangle re-hits
+are phantom by construction and backend-rounding-dependent — excluding
+them makes renders deterministic across backends.
 
 TPU-shaping decisions, all measured on the v5e chip:
 
@@ -104,27 +108,34 @@ class TraceResult(NamedTuple):
     dup_idx: jnp.ndarray  # (R,) int32 — index into duplicated tri arrays
 
 
-def trace_any(scene: DeviceScene, orig, direction, active):
+def trace_any(scene: DeviceScene, orig, direction, active, exclude=None):
     """Backend dispatch: returns (t, u, v, unique_tri_idx).
 
     MXU brute force when the scene baked transforms (scene.mxu), else the
     grid/gather wavefront.  Both implement the same hit rule; visibility is
     identical by construction (the grid only prunes work, never hits).
+
+    ``exclude``: optional (R,) int32 unique-space previous-hit triangle
+    each ray may not re-hit (ops.mxu_intersect.EXCLUDE_PREV_HIT).
     """
     if scene.mxu is not None:
         from ..ops.mxu_intersect import nearest_hit_mxu
 
-        t, u, v, idx = nearest_hit_mxu(scene.mxu, orig, direction, active)
+        t, u, v, idx = nearest_hit_mxu(scene.mxu, orig, direction, active,
+                                       exclude=exclude)
         return t, u, v, idx
-    hit = trace_wave(scene, orig, direction, active)
+    hit = trace_wave(scene, orig, direction, active, exclude=exclude)
     return hit.t, hit.u, hit.v, scene.dup_to_tri[hit.dup_idx]
 
 
-def trace_wave(scene: DeviceScene, orig, direction, active) -> TraceResult:
+def trace_wave(scene: DeviceScene, orig, direction, active,
+               exclude=None) -> TraceResult:
     """Nearest-hit for a wave of rays via grid DDA + Möller–Trumbore.
 
     Reference: Scene.traceRay (src/stage3.zig:152-186).  ``active=False``
     rays return a miss without touching memory bandwidth beyond lock-step.
+    ``exclude`` is in UNIQUE triangle space (the grid's candidates are
+    duplicated per cell, so each is mapped through dup_to_tri to compare).
     """
     entered, state = dda.dda_setup(scene.grid, orig, direction)
 
@@ -155,6 +166,8 @@ def trace_wave(scene: DeviceScene, orig, direction, active) -> TraceResult:
                 orig, direction, scene.tri_v0[idx], scene.tri_e1[idx], scene.tri_e2[idx]
             )
             better = has_tri & valid & (t > 0.0) & (t < nearest_t)
+            if exclude is not None:
+                better = better & (scene.dup_to_tri[idx] != exclude)
             nearest_t = jnp.where(better, t, nearest_t)
             nearest_u = jnp.where(better, u, nearest_u)
             nearest_v = jnp.where(better, v, nearest_v)
@@ -397,15 +410,22 @@ def render_wave(
                     bank, max_bounce, ed, interpret=interpret,
                 )
                 return pixel, state[9:12].T, state[14].astype(jnp.int32)
-            state = path_trace_fused(
+            from ..ops.mxu_intersect import EXCLUDE_PREV_HIT
+
+            out = path_trace_fused(
                 scene.mxu, state, scene.shade_table_t, bank,
-                1, ed, interpret=interpret,
+                1, ed, interpret=interpret, emit_idx=EXCLUDE_PREV_HIT,
             )
+            state, idx0 = out if EXCLUDE_PREV_HIT else (out, None)
             perm = jnp.argsort(_ray_sort_key(scene, state))
             state = jnp.take(state, perm, axis=1)
+            prev = (
+                jnp.take(idx0[0], perm) if EXCLUDE_PREV_HIT else None
+            )
             state = path_trace_fused(
                 scene.mxu, state, scene.shade_table_t, bank,
                 max_bounce - 1, ed, interpret=interpret, bounce0=1,
+                prev=prev,
             )
             inv = _invert_perm(perm)
             return (
@@ -425,6 +445,9 @@ def render_wave(
         # profitable only when a bounce's trace costs much more (gated by
         # sort_rays; see SORT_MIN_TRIS).
         order = local  # running map: lane -> original wave position
+        from ..ops.mxu_intersect import EXCLUDE_PREV_HIT
+
+        prev_m = None  # previous bounce's winner (Morton space)
         for bounce in range(max_bounce):
             # Sort EVERY bounce including primaries: isolated bounce-0 trace
             # barely improves (60→57 ms for a 28 ms sort), but the spatial
@@ -435,6 +458,8 @@ def render_wave(
                 perm = jnp.argsort(key)
                 state = jnp.take(state, perm, axis=1)
                 order = jnp.take(order, perm)
+                if prev_m is not None:
+                    prev_m = jnp.take(prev_m, perm)
             # Every MXU regime now emits the winner's shade record and
             # exact u/v from inside the trace kernel (one-hot MXU dot per
             # winner tile; HBM table/bank slices DMA'd on demand), so
@@ -459,7 +484,9 @@ def render_wave(
             aux, tri, rec = trace_emit_aux(
                 scene.mxu, state, rec_table=emit_table,
                 interpret=interpret, origin=origin,
+                prev=prev_m if EXCLUDE_PREV_HIT else None,
             )
+            prev_m = tri  # winner per lane; dead lanes never consume it
             state = shade_fused(
                 scene, state, aux, tri, bounce,
                 interpret=interpret, block_skip=sort_rays, rec=rec,
@@ -486,14 +513,20 @@ def render_wave(
     # segment was NOT already direct-sampled (extensions.py docstring).
     count_emissive = jnp.ones(R, dtype=bool)
     use_nee = ext_any and ext.nee and scene.lights is not None
+    from ..ops.mxu_intersect import EXCLUDE_PREV_HIT
 
+    prev_u = None  # previous bounce's hit (unique triangle space)
     for bounce in range(max_bounce):
         if ext_any and ext.russian_roulette:
             from .extensions import roulette
 
             throughput, alive = roulette(throughput, streams, bounce, alive)
         segments = segments + alive.astype(jnp.int32)
-        t, u, v, tri = trace_any(scene, orig, direction, alive)
+        t, u, v, tri = trace_any(
+            scene, orig, direction, alive,
+            exclude=prev_u if EXCLUDE_PREV_HIT else None,
+        )
+        prev_u = tri  # dead/missed lanes never consume their value
         (new_orig, new_dir, emissive, albedo, pass_through, missed, normal
          ) = shade_and_scatter(
             scene, orig, direction, t, u, v, tri, streams, bounce
@@ -638,18 +671,24 @@ def render_wave_rows(
         )
         ed = scene.emissive_all_dummy is not None
         do_sort = SORT_AFTER_BOUNCE0 and max_bounce > 1
-        state = path_trace_gen(
+        from ..ops.mxu_intersect import EXCLUDE_PREV_HIT
+
+        emit_idx = do_sort and EXCLUDE_PREV_HIT
+        out = path_trace_gen(
             scene.mxu, par, meta, scene.shade_table_t, bank,
             R, 1 if do_sort else max_bounce, ed, gen,
-            emit_key=do_sort, interpret=interpret,
+            emit_key=do_sort, emit_idx=emit_idx, interpret=interpret,
         )
+        state, idx0 = out if emit_idx else (out, None)
         if do_sort:
             key = jax.lax.bitcast_convert_type(state[15], jnp.int32)
             perm = jnp.argsort(key)
             state = jnp.take(state, perm, axis=1)
+            prev = jnp.take(idx0[0], perm) if emit_idx else None
             state = path_trace_fused(
                 scene.mxu, state, scene.shade_table_t, bank,
                 max_bounce - 1, ed, interpret=interpret, bounce0=1,
+                prev=prev,
             )
             inv = _invert_perm(perm)
             rows4 = jnp.take(
