@@ -58,34 +58,48 @@ def main():
 
     from zig_raytracing_contest_tpu.render import fused
 
-    variants = [
-        ("defaults (gate=T, defer=T, so=T)", True, True, True),
-        ("gate=F, defer=T, so=T", False, True, True),
-        ("gate=T, defer=F, so=T", True, False, True),
-        ("gate=T, defer=T, so=F", True, True, False),
-    ]
-    for label, gate, defer, so in variants:
-        mi.GATE_WINNER_EXTRACT = gate
-        mi.REC_EMIT_DEFERRED = defer
-        fused.SHARED_ORIGIN_B0 = so
+    # One flag flipped per variant, starting from the CURRENT production
+    # defaults (read off the modules, so this script never goes stale when
+    # a default changes).  EXCLUDE_PREV_HIT changes the rendered output
+    # (it is a determinism fix, not a pure optimization) — its row exists
+    # to price the fix, not to choose a default.
+    defaults = {
+        # Flip order = measurement priority (the chip session bounds this
+        # script with a timeout; the most load-bearing rows go first).
+        "prev": mi.EXCLUDE_PREV_HIT,
+        "gate": mi.GATE_WINNER_EXTRACT,
+        "defer": mi.REC_EMIT_DEFERRED,
+        "so": fused.SHARED_ORIGIN_B0,
+    }
+
+    def apply(flags):
+        mi.GATE_WINNER_EXTRACT = flags["gate"]
+        mi.REC_EMIT_DEFERRED = flags["defer"]
+        fused.SHARED_ORIGIN_B0 = flags["so"]
+        mi.EXCLUDE_PREV_HIT = flags["prev"]
+
+    variants = [("defaults " + str(defaults), defaults)]
+    for key in defaults:
+        flipped = dict(defaults)
+        flipped[key] = not flipped[key]
+        variants.append((f"{key}={flipped[key]}", flipped))
+
+    for label, flags in variants:
+        apply(flags)
         jax.clear_caches()
         for name, sc, cam, cfg in workloads:
             # REC_EMIT_DEFERRED only matters when the table is VMEM-resident
             # (> REC_EMIT_MAX_TRIS forces deferral regardless of the flag) —
             # skip rows where the flag cannot change the kernel.
-            if not defer and sc.mxu.tri_data.shape[1] > mi.REC_EMIT_MAX_TRIS:
+            if (not flags["defer"]
+                    and sc.mxu.tri_data.shape[1] > mi.REC_EMIT_MAX_TRIS):
                 print(f"{name:9s} {label}: skipped (table_hbm forces "
                       f"deferral)", flush=True)
                 continue
-            # SHARED_ORIGIN_B0 affects every fused regime: the whole-path
-            # gen kernel's bounce 0 AND the per-bounce pipeline's bounce-0
-            # trace_emit_aux(origin=...) — measure it on both workloads.
             med, best = measure(sc, cam, cfg)
             print(f"{name:9s} {label}: median {med:.3f}  best {best:.3f} "
                   f"Mrays/s", flush=True)
-    mi.GATE_WINNER_EXTRACT = True
-    mi.REC_EMIT_DEFERRED = True
-    fused.SHARED_ORIGIN_B0 = True
+    apply(defaults)
     return 0
 
 

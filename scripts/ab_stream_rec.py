@@ -25,6 +25,7 @@ for a in sys.argv[1:]:
     if a.startswith("--side="):
         side = int(a.split("=")[1])
 
+import zig_raytracing_contest_tpu.ops.mxu_intersect as mi
 import zig_raytracing_contest_tpu.render.wavefront as wf
 from bench import build_large_scene
 from zig_raytracing_contest_tpu.config import Config
@@ -60,19 +61,22 @@ def main():
           f"tile={scene.mxu.tile} tiles={scene.mxu.tile_bbox.shape[1]}")
 
     variants = [
-        ("defaults (rec-in-kernel, so=T)", True, True),
-        ("rec=gather (STREAM_REC_IN_KERNEL=F)", False, True),
-        ("so=F (per-lane bounce-0 origin)", True, False),
+        ("defaults (rec-in-kernel, so=T, prev=T)", True, True, True),
+        ("prev=F (EXCLUDE_PREV_HIT off)", True, True, False),
+        ("rec=gather (STREAM_REC_IN_KERNEL=F)", False, True, True),
+        ("so=F (per-lane bounce-0 origin)", True, False, True),
     ]
-    for label, rec_ink, so in variants:
+    for label, rec_ink, so, prev in variants:
         wf.STREAM_REC_IN_KERNEL = rec_ink
         fused.SHARED_ORIGIN_B0 = so
+        mi.EXCLUDE_PREV_HIT = prev
         jax.clear_caches()
         med, best = measure(scene, cam, cfg)
         print(f"{label}: median {med:.3f}  best {best:.3f} Mrays/s",
               flush=True)
     wf.STREAM_REC_IN_KERNEL = True
     fused.SHARED_ORIGIN_B0 = True
+    mi.EXCLUDE_PREV_HIT = True
     return 0
 
 
