@@ -523,11 +523,17 @@ def _tile_update(rows, ox, oy, oz, dx, dy, dz, s, Tp, aux_ref, idx_ref,
     if prev is not None:
         # EXCLUDE_PREV_HIT: a same-triangle re-hit from a point on the
         # triangle's own plane is a rounding phantom (see the flag's
-        # docstring above); masking it is exact.  Costs one iota + compare
-        # per sweep, paid on continuation bounces only (prev is None for
-        # primaries).
-        gid = s + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        ok = ok & (gid != prev[sl][None, :])
+        # docstring above); masking it is exact.  Cost per sweep: the
+        # (Kt, LB) iota is LOOP-INVARIANT (same shape every sweep — Mosaic
+        # hoists it out of the tile loop), and the tile offset rides the
+        # cheap (LB,) side as prev - s, so only the compare + and touch
+        # (Kt, LB) lanes.  Paid on continuation bounces only (prev is None
+        # for primaries).  The chip A/B (scripts/ab_flags.py, prev row)
+        # priced the whole exclusion at ~12% of the official frame before
+        # this hoist — part semantic (excluded rays live longer and trace
+        # real geometry behind the phantom), part this mask.
+        ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        ok = ok & (ids != (prev[sl] - s)[None, :])
     t = jnp.where(ok, t, INF)
     tile_min = jnp.min(t, axis=0)  # (LB,)
     best_t = aux_ref[2, sl]
