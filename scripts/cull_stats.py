@@ -1,7 +1,10 @@
 """Cull-efficiency diagnostic: mean triangle tiles swept per ray block, per
 bounce, on the real bench scenes (aux row 5 from the trace kernels).
 
-Run: python scripts/cull_stats.py [--large] [--sort | --nosort]
+Run: python scripts/cull_stats.py [--large] [--side=N] [--sort | --nosort]
+
+--side=N overrides the terrain size of the --large scene (2*N^2 triangles;
+implies --large), for the 500k/2M/4M streaming-regime curve.
 """
 
 import sys
@@ -23,14 +26,22 @@ from zig_raytracing_contest_tpu.render.pipeline import prepare_scene
 
 
 def main():
-    large = "--large" in sys.argv
-    R = 1 << 21 if large else 1 << 18
-    width = 1280
+    side = None
+    for a in sys.argv[1:]:
+        if a.startswith("--side="):
+            side = int(a.split("=")[1])
+    large = "--large" in sys.argv or side is not None
+    R = (1 << 18 if side and side > 500 else 1 << 21) if large else 1 << 18
+    width = 640 if side and side > 500 else 1280
+    height = 360 if side and side > 500 else 720
     cfg = Config(grid_resolution=(128, 128, 128))
     with tempfile.TemporaryDirectory() as d:
-        p = (build_large_scene if large else build_bench_scene)(Path(d) / "s.gltf")
+        if large:
+            p = build_large_scene(Path(d) / "s.gltf", side=side or 224)
+        else:
+            p = build_bench_scene(Path(d) / "s.gltf")
         scene, cam, _ = prepare_scene(
-            str(p), cfg, camera_name="Camera 1", width=width, height=720
+            str(p), cfg, camera_name="Camera 1", width=width, height=height
         )
     tiles = scene.mxu.tile_bbox.shape[1]
     groups = scene.mxu.group_bbox.shape[1]
