@@ -197,3 +197,63 @@ def test_stream_tile_plan():
     assert _stream_tile(256 * STREAM_MAX_TILES + 1) == 512
     assert _stream_tile(4_000_000) == 512
     assert _stream_tile(8_300_000) == 1024
+
+
+def _state16(org, d, active, streams, R):
+    return jnp.concatenate(
+        [
+            org.T,
+            d.T,
+            jnp.ones((3, R)),
+            jnp.zeros((3, R)),
+            active.astype(jnp.float32)[None],
+            jax.lax.bitcast_convert_type(streams, jnp.float32)[None],
+            jnp.zeros((2, R)),
+        ],
+        axis=0,
+    ).astype(jnp.float32)
+
+
+def test_seed_prev_tile_exact(monkeypatch):
+    """SEED_PREV_TILE only changes tile VISIT ORDER (previous-hit tiles
+    sweep first to seed best-t); the nearest hit, barycentrics, and winner
+    id must be identical with the seed on and off, on both the resident
+    tree path and the HBM-streaming group-tree path."""
+    from zig_raytracing_contest_tpu.ops import mxu_intersect as mi
+
+    tris = _random_bank(17, T=16384, tile=128)
+    R = 512
+    streams = rng.ray_streams(jnp.uint32(13), jnp.arange(R, dtype=jnp.int32))
+    org = (
+        jnp.stack([rng.uniform(streams, 40 + k) for k in range(3)], 1) * 16.0
+        - 8.0
+    )
+    g = jnp.stack([rng.normal3(streams, 9)[:, a] for a in range(3)], 1)
+    d = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+    active = rng.uniform(streams, 50) < 0.9
+    state = _state16(org, d, active, streams, R)
+    # Synthetic previous hits spread over many tiles (any valid id works:
+    # the seed must be exact for EVERY prev, not just true previous hits).
+    prev = jnp.asarray(
+        np.random.default_rng(5).integers(0, 16384, R, dtype=np.int32)
+    )
+
+    for force_streaming in (False, True):
+        if force_streaming:
+            monkeypatch.setattr(mi, "VMEM_RESIDENT_MAX_TRIS", 0)
+        outs = []
+        for seed_on in (True, False):
+            monkeypatch.setattr(mi, "SEED_PREV_TILE", seed_on)
+            trace_emit_aux._clear_cache()
+            aux, idx_m, _ = trace_emit_aux(
+                tris, state, interpret=True, prev=prev
+            )
+            outs.append((np.asarray(aux[:5]), np.asarray(idx_m)))
+        trace_emit_aux._clear_cache()
+        monkeypatch.undo()
+        act = np.asarray(active)
+        (aux_a, idx_a), (aux_b, idx_b) = outs
+        assert np.isfinite(aux_a[2][act]).sum() > 50
+        np.testing.assert_array_equal(aux_a[:, act], aux_b[:, act])
+        hit = act & np.isfinite(aux_a[2])
+        np.testing.assert_array_equal(idx_a[hit], idx_b[hit])

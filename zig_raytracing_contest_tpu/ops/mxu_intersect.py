@@ -960,12 +960,51 @@ GATE_WINNER_EXTRACT = False
 # wasted re-trace bounce); False restores the reference's rounding-luck
 # behavior for A/B.
 EXCLUDE_PREV_HIT = True
+# Seed each bounce block's running best-t by sweeping the lanes'
+# PREVIOUS-HIT tiles before the traversal (continuation bounces only —
+# primaries have no previous hit).  Diffuse bounce rays overwhelmingly
+# re-hit geometry near their origin surface (terrain valleys, room
+# interiors), so sweeping the 1-4 distinct origin tiles of a sorted beam
+# first gives most lanes a TIGHT initial best, and the traversal's
+# `entry >= best` occlusion test then rejects the far corridor the block
+# would otherwise sweep.  Exact by construction: the seed only folds true
+# same-ray candidate hits, and nearest-hit is order-independent (modulo
+# the pre-existing first-visited-tile tie rule every traversal order
+# already has).  MEASURED WORSE on the 100k bench (2.90 vs 3.59 Mrays/s,
+# same session): the nearest-first DFS already tightens best on its first
+# leaves, bounce rays off convex terrain rarely re-hit their origin tile,
+# and each distinct prev tile costs an UNCULLED full-block sweep — so the
+# seed pays ~10 extra sweeps/block for pruning the traversal was already
+# getting.  Kept as an A/B lever (tests/test_tree.py pins exactness).
+SEED_PREV_TILE = False
 # DFS stack bound for the OCTAL traversal: each expansion pushes at most
 # 8 children and descends one octal level, so worst-case depth is
 # 8 · ceil(log2(P2)/3) + roots — 54 at P2 = 2^17 (the largest heap the
 # SMEM budget allows).  64 gives slack; _tree_traverse documents the
 # invariant.
 TREE_MAX_STACK = 64
+
+
+def _seed_prev_tiles(prev, active, tile: int, num_tiles, sweep_tile):
+    """Sweep each DISTINCT previous-hit tile of the block's alive lanes
+    (min-above walk, one iteration per distinct tile — the same walk as
+    _extract_winner_records) to seed best-t before traversal."""
+    shift = tile.bit_length() - 1
+    big = jnp.int32(1 << 30)
+    pt = jnp.where(active, jax.lax.shift_right_logical(prev, shift), big)
+    pt = jnp.where(pt < num_tiles, pt, big)  # total even on foreign ids
+
+    def nxt(last):
+        return jnp.min(jnp.where(pt > last, pt, big))
+
+    def cond(jt):
+        return jt < big
+
+    def body(jt):
+        sweep_tile(jt)
+        return nxt(jt)
+
+    jax.lax.while_loop(cond, body, nxt(jnp.int32(-1)))
 
 
 def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
@@ -1088,6 +1127,10 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
             process_group,
         )
 
+    if prev is not None and SEED_PREV_TILE:
+        # Tight initial best-t from the lanes' own previous-hit tiles —
+        # the traversal below then occlusion-culls the far corridor.
+        _seed_prev_tiles(prev, active, tile, num_tiles, sweep_tile)
     traverse()
     if deferred:
         _extract_winner_records(
@@ -1384,6 +1427,23 @@ def _trace_kernel_t_hbm_body(state_ref, tri_hbm_ref, bbox_ref, gbox_ref,
                 return 0
 
             jax.lax.fori_loop(0, group_tiles, tile_body, 0)
+
+        if prev is not None and SEED_PREV_TILE:
+            # Seed best-t from the lanes' previous-hit tiles (1-4 distinct
+            # tiles for a sorted beam; one blocking ~13 KB DMA each) so the
+            # group traversal below DMAs nothing the seeded best occludes.
+            def seed_sweep(jt):
+                cp = get_dma(0, jt)
+                cp.start()
+                cp.wait()
+                s = pl.multiple_of(jt * tile, tile)
+                _tile_update(
+                    scratch[0], o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
+                    aux_ref, idx_ref, extract_uv=extract_uv,
+                    origin=origin, prev=prev,
+                )
+
+            _seed_prev_tiles(prev, active, tile, num_tiles, seed_sweep)
 
         if (
             gtree_ref is not None
