@@ -65,8 +65,10 @@ def measure(scene_path: Path, config: Config, width=1920, height=1080, reps=3):
         str(scene_path), config, camera_name="Camera 1",
         width=width, height=height,
     )
+    from zig_raytracing_contest_tpu.scene.types import PAGE_ROWS, PAGE_TEXELS
+
     n_texels = (
-        int(scene.color_paged_t.shape[0] // 32 * 2048)
+        int(scene.color_paged_t.shape[0] // PAGE_ROWS * PAGE_TEXELS)
         if scene.color_paged_t is not None
         else int(scene.color_u16f_t.shape[1]) if scene.color_u16f_t is not None
         else -1

@@ -283,11 +283,14 @@ def test_path_kernel_matches_bounce_composition(scene_and_rays):
 
 
 def test_paged_bank_layout():
-    """bank[32p + 8·corner + 2c + half, col] must hold the CORNER texel of
-    base texel p·2048 + half·1024 + col, channel c, under the texture's
-    wrap mode — the invariant _fetch_paged's slice/dot fetch relies on."""
+    """bank[PAGE_ROWS·p + (4·corner + c)·PAGE_SUB + sub, col] must hold
+    the CORNER texel of base texel p·PAGE_TEXELS + sub·1024 + col,
+    channel c, under the texture's wrap mode — the invariant
+    _fetch_paged's slice/dot fetch relies on."""
     from zig_raytracing_contest_tpu.scene.materials import INT32_MIN, INT32_MAX
     from zig_raytracing_contest_tpu.scene.types import (
+        PAGE_ROWS,
+        PAGE_SUB,
         PAGE_TEXELS,
         _pack_paged_bank,
     )
@@ -306,7 +309,7 @@ def test_paged_bank_layout():
     )
     bank = _pack_paged_bank(tex, desc)
     pages = -(-P // PAGE_TEXELS)
-    assert bank.shape == (pages * 32, 1024)
+    assert bank.shape == (pages * PAGE_ROWS, 1024)
 
     def corner_of(i, corner):
         if i >= w0 * h0:
@@ -322,23 +325,25 @@ def test_paged_bank_layout():
 
     for i in rng_np.integers(0, P, size=48):
         p, local = divmod(int(i), PAGE_TEXELS)
-        h, col = divmod(local, 1024)
+        sub, col = divmod(local, 1024)
         for corner in range(4):
             j = corner_of(int(i), corner)
             for c in range(4):
                 assert (
-                    bank[32 * p + 8 * corner + 2 * c + h, col]
+                    bank[PAGE_ROWS * p + (4 * corner + c) * PAGE_SUB + sub,
+                         col]
                     == float(tex[j, c])
                 )
 
 
 def _write_paged_scene(path):
-    """Cornell-like box whose walls carry a 64×64 texture (4096 texels —
-    past ONEHOT_MAX_TEXELS, so the scene bakes a PAGED bank) plus the
+    """Cornell-like box whose walls carry a 128×96 texture (12288 texels
+    — past ONEHOT_MAX_TEXELS so the scene bakes a PAGED bank, and past
+    PAGE_TEXELS so the fetch loop crosses a page boundary) plus the
     1×1-translucent quad exercising the alpha path."""
     b = procedural.SceneBuilder()
     rng_np = np.random.default_rng(42)
-    wall_img = rng_np.integers(40, 255, size=(64, 64, 4), dtype=np.uint8)
+    wall_img = rng_np.integers(40, 255, size=(96, 128, 4), dtype=np.uint8)
     wall_img[:, :, 3] = 255
     img_w = b.add_image_png(wall_img.astype(np.uint8))
     white = b.add_material(

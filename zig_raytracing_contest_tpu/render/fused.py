@@ -47,6 +47,9 @@ from ..ops.mxu_intersect import TREE_MAX_STACK
 from ..ops.rng import _bits, _u01
 from ..scene.types import (
     PACKED_COLS,
+    PAGE_ROWS,
+    PAGE_SUB,
+    PAGE_TEXELS,
     PCOL_BASE,
     PCOL_EMIS,
     PCOL_NRM,
@@ -338,7 +341,7 @@ _PAGE_BIG = 1 << 30  # past any real page id (bank cap is PAGED_MAX_TEXELS)
 
 # Paged banks at or under this stay VMEM-resident (direct in-kernel page
 # slices); bigger banks live in HBM and the fetch loop DMAs each demanded
-# (32, 1024) page into a double-buffered VMEM scratch — the same
+# (PAGE_ROWS, 1024) page into a double-buffered VMEM scratch — the same
 # cull-gated streaming the trace kernel uses for triangle tiles
 # (ops/mxu_intersect._trace_kernel_t_hbm_body).  4 MB = 2^16 texels at
 # the corner-expanded 64 B/texel; the whole-path kernel's other residents
@@ -358,24 +361,26 @@ def _bank_hbm(shape) -> bool:
 
 def _fetch_paged(bank_ref, idx, demand):
     """Texel fetch from a CORNER-EXPANDED paged bank
-    (scene/types._pack_paged_bank): page p is the (32, 1024) f32 block at
-    rows [32p, 32p+32), holding 2048 texels' four bilinear corners as
-    row = 8·corner + 2·channel + half (half = in-page texel bit 10),
-    col = texel & 1023.
+    (scene/types._pack_paged_bank): page p is the (PAGE_ROWS, 1024) f32
+    block at rows [PAGE_ROWS·p, PAGE_ROWS·(p+1)), holding PAGE_TEXELS
+    texels' four bilinear corners as row = (4·corner + channel)·PAGE_SUB
+    + sub (sub = in-page texel bits 10..), col = texel & 1023.
 
     ``idx`` holds the BASE-corner texel index per fetched texture (the
     p11 of _prep_math; one entry for base color, one for emissive); the
     bank bakes each texel's +x/+y/+xy wrap-mode neighbors alongside it,
-    so ONE (32, 1024) × (1024, CH) one-hot dot per page per texture
-    fetches all four corners × four channels — versus four separate
-    one-hot builds and dots, whose (1024, CH) compare+cast transients
-    dominated the first paged design (measured 10.2 vs 28 Mrays/s on a
-    128² floor).
+    so ONE (PAGE_ROWS, 1024) × (1024, CH) one-hot dot per page per
+    texture fetches all four corners × four channels — versus four
+    separate one-hot builds and dots, whose (1024, CH) compare+cast
+    transients dominated the first paged design (measured 10.2 vs 28
+    Mrays/s on a 128² floor).  Page size is pinned by measurement —
+    bigger pages make the dot proportionally more expensive without
+    cutting iterations (scene/types.py PAGE_TEXELS rationale).
 
     Beam-sorted lane blocks are texel-coherent, so instead of one-hotting
     the whole bank (unaffordable past ~1024 texels) this while-loops over
-    the chunk's DEMANDED pages in ascending order, all textures sharing
-    one loop.  Iteration count = distinct pages demanded by the chunk.
+    the chunk's DEMANDED pages in ascending order.
+    Iteration count = distinct pages demanded by the chunk.
     Lanes outside ``demand`` (dead or missed) contribute no pages and
     read 0 — their texels never reach ray state (_shade_live masks every
     texel-dependent write by alive & ~missed).
@@ -396,7 +401,8 @@ def _fetch_paged(bank_ref, idx, demand):
         # charged every texture a compare+cast+dot on every page).
         for k in range(n_idx):
             idx_c = idx[k][c0 : c0 + ONEHOT_CHUNK]
-            pages = jnp.where(ch_demand, idx_c >> 11, big)
+            page_shift = PAGE_TEXELS.bit_length() - 1
+            pages = jnp.where(ch_demand, idx_c >> page_shift, big)
             CH = idx_c.shape[0]
 
             def next_page(last, pages=pages):
@@ -404,7 +410,7 @@ def _fetch_paged(bank_ref, idx, demand):
 
             def accumulate(cur, acc, pg, idx_c=idx_c, pages=pages, CH=CH):
                 iota = jax.lax.broadcasted_iota(jnp.int32, (1024, CH), 0)
-                local = idx_c - cur * 2048
+                local = idx_c - cur * PAGE_TEXELS
                 hit = pages == cur  # == cur ⟹ demanded ∧ in-page
                 col = jnp.where(hit, local & 1023, -1)
                 res = jax.lax.dot_general(
@@ -413,15 +419,17 @@ def _fetch_paged(bank_ref, idx, demand):
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                )  # (32, CH): res[2r+h] = row r of half h
-                hi = (local >> 10) == 1
+                )  # (PAGE_ROWS, CH): res[PAGE_SUB·r + s] = row r, sub s
+                sub = local >> 10
+
+                def pick(r):
+                    val = res[PAGE_SUB * r]
+                    for s in range(1, PAGE_SUB):
+                        val = jnp.where(sub == s, res[PAGE_SUB * r + s], val)
+                    return val
+
                 return tuple(
-                    jnp.where(
-                        hit,
-                        jnp.where(hi, res[2 * r + 1], res[2 * r]),
-                        acc[r],
-                    )
-                    for r in range(16)
+                    jnp.where(hit, pick(r), acc[r]) for r in range(16)
                 )
 
             zeros = tuple(jnp.zeros((CH,), jnp.float32) for _ in range(16))
@@ -432,8 +440,8 @@ def _fetch_paged(bank_ref, idx, demand):
 
                 def body(carry, next_page=next_page, accumulate=accumulate):
                     cur, acc = carry
-                    s = pl.multiple_of(cur * 32, 32)
-                    pg = bank_ref[pl.ds(s, 32), :]  # (32, 1024) one page
+                    s = pl.multiple_of(cur * PAGE_ROWS, PAGE_ROWS)
+                    pg = bank_ref[pl.ds(s, PAGE_ROWS), :]  # one page
                     return next_page(cur), accumulate(cur, acc, pg)
 
                 _, acc = jax.lax.while_loop(
@@ -447,9 +455,9 @@ def _fetch_paged(bank_ref, idx, demand):
                 def scoped(scratch, sems, next_page=next_page,
                            accumulate=accumulate, zeros=zeros):
                     def get_dma(slot, page):
-                        s = pl.multiple_of(page * 32, 32)
+                        s = pl.multiple_of(page * PAGE_ROWS, PAGE_ROWS)
                         return pltpu.make_async_copy(
-                            bank_ref.at[pl.ds(s, 32), :],
+                            bank_ref.at[pl.ds(s, PAGE_ROWS), :],
                             scratch.at[slot],
                             sems.at[slot],
                         )
@@ -482,7 +490,7 @@ def _fetch_paged(bank_ref, idx, demand):
 
                 acc = pl.run_scoped(
                     scoped,
-                    scratch=pltpu.VMEM((2, 32, 1024), jnp.float32),
+                    scratch=pltpu.VMEM((2, PAGE_ROWS, 1024), jnp.float32),
                     sems=pltpu.SemaphoreType.DMA((2,)),
                 )
             # 2-D (16, CH) chunk; Mosaic's concatenate can't offset 1-D

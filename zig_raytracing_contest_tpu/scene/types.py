@@ -65,7 +65,7 @@ ONEHOT_MAX_TEXELS = 1024
 
 # Paged in-kernel texel fetch (render/fused.py _fetch_paged): banks past
 # the one-hot budget but within this cap are baked as CORNER-EXPANDED
-# 2048-texel pages; the shade kernels loop over the pages a lane block
+# PAGE_TEXELS-texel pages; the shade kernels loop over the pages a lane block
 # demands, fetching ALL FOUR bilinear corners of all four channels with
 # ONE one-hot dot per texture.  Banks ≤ 4 MB (2^16 texels at the 64 B/
 # texel expansion — a 256×256 RGBA texture exactly) stay VMEM-resident;
@@ -75,8 +75,19 @@ ONEHOT_MAX_TEXELS = 1024
 # The cap bounds bake cost and HBM (64 MB at 2^20); beyond it the scene
 # takes the per-bounce XLA-gather regime.
 PAGED_MAX_TEXELS = 1 << 20
+# Page size is a measured optimum, not a guess: 8192-texel pages (4×
+# fewer loop iterations in theory) measured WORSE on-chip — official
+# scene with a 128² floor 14.4 → 10.5 Mrays/s, 512² floor 7.8 → 5.2 —
+# because (a) the page-slice dot DOES scale with PAGE_ROWS (M=32 is
+# cheaper than M=128 on the MXU; "pads to 128 anyway" is false) and
+# (b) iterations barely dropped: texel indices are row-major, so a
+# beam's square uv footprint spans many TEXTURE ROWS and therefore many
+# pages at any page size.  The footprint problem is solved by the 2-D
+# TILED page layout below (each page covers a 64×32-texel rectangle),
+# not by bigger pages.
 PAGE_TEXELS = 2048
-PAGE_ROWS = 32  # 4 corners × 4 channels × 2 halves
+PAGE_SUB = PAGE_TEXELS // 1024  # 1024-column sub-blocks per page
+PAGE_ROWS = 16 * PAGE_SUB  # 4 corners × 4 channels × PAGE_SUB sub-blocks
 
 
 def _paged_corner_maps(P: int, color_desc: np.ndarray) -> np.ndarray:
@@ -112,25 +123,23 @@ def _paged_corner_maps(P: int, color_desc: np.ndarray) -> np.ndarray:
 def _pack_paged_bank(
     color_u16: np.ndarray, color_desc: np.ndarray
 ) -> np.ndarray:
-    """(P, 4) u16 + descriptors → (pages·32, 1024) f32 u16-VALUED
+    """(P, 4) u16 + descriptors → (pages·PAGE_ROWS, 1024) f32 u16-VALUED
     corner-expanded paged bank.
 
-    Page p occupies rows [32p, 32p+32); within a page, row = 8·corner +
-    2·channel + half and column = texel & 1023, where half is bit 10 of
-    the in-page texel index — so slicing one page yields a (32, 1024)
-    block whose single one-hot dot against a (1024, CH) column mask
-    fetches all four corners × four channels × both halves at once
-    (render/fused.py _fetch_paged)."""
+    Page p occupies rows [PAGE_ROWS·p, PAGE_ROWS·(p+1)); within a page,
+    row = (4·corner + channel)·PAGE_SUB + sub and column = texel & 1023,
+    where sub = bits 10.. of the in-page texel index — so slicing one
+    page yields a (PAGE_ROWS, 1024) block whose single one-hot dot
+    against a (1024, CH) column mask fetches all four corners × four
+    channels × every sub-block at once (render/fused.py _fetch_paged)."""
     P = color_u16.shape[0]
     pages = -(-P // PAGE_TEXELS)
     corners = _paged_corner_maps(P, color_desc)  # (4, P)
     a = np.zeros((4, pages * PAGE_TEXELS, 4), np.float32)
     a[:, :P] = color_u16.astype(np.float32)[corners]  # (4, P, 4)
-    # (corner, p, half, col, c) → (p, corner, c, half, col)
-    a = a.reshape(4, pages, 2, PAGE_TEXELS // 2, 4).transpose(1, 0, 4, 2, 3)
-    return np.ascontiguousarray(
-        a.reshape(pages * PAGE_ROWS, PAGE_TEXELS // 2)
-    )
+    # (corner, p, sub, col, c) → (p, corner, c, sub, col)
+    a = a.reshape(4, pages, PAGE_SUB, 1024, 4).transpose(1, 0, 4, 2, 3)
+    return np.ascontiguousarray(a.reshape(pages * PAGE_ROWS, 1024))
 
 # shade_table column layout
 COL_NRM = 0  # 9 cols: 3 vertices × xyz (world, normalized)
@@ -206,7 +215,7 @@ class DeviceScene(NamedTuple):
     # shades a bounce in ONE kernel — texel "gathers" become in-kernel
     # one-hot matmuls and no XLA runs between trace and shade.
     color_u16f_t: jnp.ndarray | None = None
-    # Mid-size-bank fast path: (pages·32, 1024) f32 u16-VALUED paged texel
+    # Mid-size-bank fast path: (pages·PAGE_ROWS, 1024) f32 u16-VALUED paged texel
     # bank (_pack_paged_bank layout).  Present when the bank exceeds the
     # one-hot budget but fits PAGED_MAX_TEXELS; the fused kernels then
     # while-loop over a lane block's demanded pages (beam-sorted blocks
