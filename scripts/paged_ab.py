@@ -28,9 +28,9 @@ from zig_raytracing_contest_tpu.render.wavefront import whole_path_regime
 def build_big_texture_scene(path: Path, side: int = 512):
     """bench.build_bench_scene with the floor checker upscaled to
     side×side (same repeating pattern at texel granularity, so the image
-    is near-identical; the BANK regime is what changes: 512 → past
-    PAGED_MAX_TEXELS, XLA-gather regime; 128 → 16k texels, paged
-    whole-path regime)."""
+    is near-identical; the BANK regime is what changes: 128 → 16k texels,
+    VMEM-resident paged bank; 512 → 262k texels, HBM-streamed paged
+    bank — both on the whole-path kernel)."""
     import zig_raytracing_contest_tpu.scene.procedural as procedural
 
     orig_builder = procedural.SceneBuilder

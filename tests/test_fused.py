@@ -284,19 +284,27 @@ def test_path_kernel_matches_bounce_composition(scene_and_rays):
 
 def test_paged_bank_layout():
     """bank[PAGE_ROWS·p + (4·corner + c)·PAGE_SUB + sub, col] must hold
-    the CORNER texel of base texel p·PAGE_TEXELS + sub·1024 + col,
-    channel c, under the texture's wrap mode — the invariant
-    _fetch_paged's slice/dot fetch relies on."""
+    the CORNER texel of the texel whose TILED bank position is
+    p·PAGE_TEXELS + sub·1024 + col, channel c, under the texture's wrap
+    mode — the invariant _fetch_paged's slice/dot fetch relies on.  The
+    tiled position is recomputed here independently of the bake: small
+    textures (≤64×32) pack row-major at the front of the bank; larger
+    ones page by 64×32-texel tiles, x-major over tiles, page-aligned
+    (the same per-lane formula as fused._prep_math's tiled branch)."""
     from zig_raytracing_contest_tpu.scene.materials import INT32_MIN, INT32_MAX
     from zig_raytracing_contest_tpu.scene.types import (
         PAGE_ROWS,
         PAGE_SUB,
         PAGE_TEXELS,
+        PAGE_TILE_H,
+        PAGE_TILE_W,
         _pack_paged_bank,
+        _tiled_texel_map,
     )
 
     rng_np = np.random.default_rng(0)
-    # Texture 0: 64×72 repeat (4608 texels); texture 1: 28×14 clamp (392).
+    # Texture 0: 64×72 repeat (4608 texels — TILED: 1×3 tile grid);
+    # texture 1: 28×14 clamp (392 texels — small, row-major region).
     w0, h0, w1, h1 = 64, 72, 28, 14
     P = w0 * h0 + w1 * h1
     tex = rng_np.integers(0, 65536, size=(P, 4)).astype(np.uint16)
@@ -308,8 +316,12 @@ def test_paged_bank_layout():
         np.int32,
     )
     bank = _pack_paged_bank(tex, desc)
-    pages = -(-P // PAGE_TEXELS)
-    assert bank.shape == (pages * PAGE_ROWS, 1024)
+    # Placement policy: the small texture opens the bank; the large one
+    # starts page-aligned after the small region; 3 tiles of 64×32.
+    _, off_map, padded_total = _tiled_texel_map(P, desc)
+    assert off_map[1] == 0 and off_map[0] == PAGE_TEXELS
+    assert padded_total == 4 * PAGE_TEXELS
+    assert bank.shape == (padded_total // PAGE_TEXELS * PAGE_ROWS, 1024)
 
     def corner_of(i, corner):
         if i >= w0 * h0:
@@ -323,8 +335,20 @@ def test_paged_bank_layout():
             y = min(y + 1, h - 1) if clamp else (y + 1) % h
         return off + y * w + x
 
+    def q_of(i):
+        if i >= w0 * h0:  # small: contiguous row-major at its base
+            return int(off_map[1]) + (i - w0 * h0)
+        y, x = divmod(i, w0)
+        tiles_x = -(-w0 // PAGE_TILE_W)
+        return (
+            int(off_map[0])
+            + ((y // PAGE_TILE_H) * tiles_x + x // PAGE_TILE_W) * PAGE_TEXELS
+            + (y % PAGE_TILE_H) * PAGE_TILE_W
+            + x % PAGE_TILE_W
+        )
+
     for i in rng_np.integers(0, P, size=48):
-        p, local = divmod(int(i), PAGE_TEXELS)
+        p, local = divmod(q_of(int(i)), PAGE_TEXELS)
         sub, col = divmod(local, 1024)
         for corner in range(4):
             j = corner_of(int(i), corner)

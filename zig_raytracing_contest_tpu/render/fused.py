@@ -50,12 +50,17 @@ from ..scene.types import (
     PAGE_ROWS,
     PAGE_SUB,
     PAGE_TEXELS,
+    PAGE_TILE_H,
+    PAGE_TILE_W,
     PCOL_BASE,
     PCOL_EMIS,
     PCOL_NRM,
     PCOL_UV,
     DeviceScene,
 )
+
+_TILE_W_SHIFT = PAGE_TILE_W.bit_length() - 1
+_TILE_H_SHIFT = PAGE_TILE_H.bit_length() - 1
 
 # Rays per grid step (lane dimension).  Large to amortize the ~10 µs
 # per-grid-step overhead; a (32, SHADE_BLOCK) f32 block is 2 MB.
@@ -76,12 +81,14 @@ def _texel_pair(c, size_f, lo_f, hi_f, is_repeat):
     return jnp.where(is_repeat, r1, c1), jnp.where(is_repeat, r2, c2)
 
 
-def _make_prep_kernel(emissive_dummy: bool, block_skip: bool):
+def _make_prep_kernel(emissive_dummy: bool, block_skip: bool,
+                      tiled: bool = False):
     def _prep_kernel(rec_ref, aux_ref, idx_ref, svec_ref):
         if not block_skip:
             # No bounce sorting ⇒ dead rays are scattered, whole-dead blocks
             # are rare, and the branch costs more than it saves (measured).
-            return _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy)
+            return _prep_live(rec_ref, aux_ref, idx_ref, svec_ref,
+                              emissive_dummy, tiled)
         # Compaction dividend: bounce sorting packed the dead rays into
         # all-dead lane blocks (wavefront._ray_sort_key) — write zeros and
         # skip the interpolation/index math entirely.
@@ -94,15 +101,23 @@ def _make_prep_kernel(emissive_dummy: bool, block_skip: bool):
 
         @pl.when(alive_any)
         def _():
-            _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy)
+            _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy,
+                       tiled)
 
     return _prep_kernel
 
 
-def _prep_math(rec, u, v, emissive_dummy: bool):
+def _prep_math(rec, u, v, emissive_dummy: bool, tiled: bool = False):
     """Interpolation + texture-index math shared by the 3-stage prep kernel
     and the single-kernel shade.  ``rec`` is an accessor row → (B,) values.
-    Returns (idx rows list[8], svec rows list[8]) as values."""
+    Returns (idx rows list[8], svec rows list[8]) as values.
+
+    ``tiled``: the scene baked the TILED texel layout (scene/types
+    _tiled_texel_map — set whenever a paged bank exists): texel indices
+    address 64×32-tile-paged bank space for LARGE textures and a shared
+    contiguous row-major region for small ones, so a beam's square uv
+    footprint demands O(footprint/tile) pages instead of
+    O(footprint-height in texture rows)."""
     w0 = 1.0 - u - v
 
     tc_u = rec(PCOL_UV + 0) * w0 + rec(PCOL_UV + 2) * u + rec(PCOL_UV + 4) * v
@@ -124,9 +139,31 @@ def _prep_math(rec, u, v, emissive_dummy: bool):
         off = rec(d).astype(jnp.int32)
         w_i = wf.astype(jnp.int32)
         x1i, x2i = x1.astype(jnp.int32), x2.astype(jnp.int32)
-        y1w, y2w = y1.astype(jnp.int32) * w_i, y2.astype(jnp.int32) * w_i
-        return [off + y1w + x1i, off + y1w + x2i, off + y2w + x1i,
-                off + y2w + x2i]
+        y1i, y2i = y1.astype(jnp.int32), y2.astype(jnp.int32)
+        if not tiled:
+            y1w, y2w = y1i * w_i, y2i * w_i
+            return [off + y1w + x1i, off + y1w + x2i, off + y2w + x1i,
+                    off + y2w + x2i]
+        # Tiled bank space (scene/types._tiled_texel_map): textures that
+        # fit one 64×32 tile are packed contiguously row-major (q = off +
+        # y·w + x); larger textures are paged by 64×32 tiles, x-major
+        # over tiles.  Same static rule as the bake, per lane.
+        h_i = hf.astype(jnp.int32)
+        small = (w_i <= PAGE_TILE_W) & (h_i <= PAGE_TILE_H)
+        tiles_x = (w_i + (PAGE_TILE_W - 1)) >> _TILE_W_SHIFT
+
+        def q(xi, yi):
+            q_small = off + yi * w_i + xi
+            q_big = (
+                off
+                + ((yi >> _TILE_H_SHIFT) * tiles_x + (xi >> _TILE_W_SHIFT))
+                * PAGE_TEXELS
+                + ((yi & (PAGE_TILE_H - 1)) << _TILE_W_SHIFT)
+                + (xi & (PAGE_TILE_W - 1))
+            )
+            return jnp.where(small, q_small, q_big)
+
+        return [q(x1i, y1i), q(x2i, y1i), q(x1i, y2i), q(x2i, y2i)]
 
     idx = tex_indices(PCOL_BASE)
     if emissive_dummy:
@@ -149,9 +186,11 @@ def _prep_math(rec, u, v, emissive_dummy: bool):
     return idx, svec
 
 
-def _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool):
+def _prep_live(rec_ref, aux_ref, idx_ref, svec_ref, emissive_dummy: bool,
+               tiled: bool = False):
     idx, svec = _prep_math(
-        lambda k: rec_ref[k, :], aux_ref[0, :], aux_ref[1, :], emissive_dummy
+        lambda k: rec_ref[k, :], aux_ref[0, :], aux_ref[1, :], emissive_dummy,
+        tiled,
     )
     for k in range(8):
         idx_ref[k, :] = idx[k]
@@ -561,16 +600,19 @@ def _shade1_body(rec_ref, aux_ref, state_ref, bank_ref, out_state_ref,
     ``out_state_ref`` may alias there: every state row is read into values
     before any row is written)."""
     n_idx = 5 if emissive_dummy else 8
+    # Bank kind is in the shape: one-hot banks are exactly (4, Pp) channel
+    # rows; paged banks (scene/types._pack_paged_bank) are
+    # (PAGE_ROWS·pages, 1024).  Paged banks ⟺ the bake used the TILED
+    # texel layout, so the index math must too.
+    paged = bank_ref.shape[0] != 4
     idx, svec = _prep_math(
         lambda k: rec_ref[k, :], aux_ref[0, :], aux_ref[1, :],
-        emissive_dummy,
+        emissive_dummy, tiled=paged,
     )
     Pp = bank_ref.shape[1]
     B = rec_ref.shape[1]
 
-    # Bank kind is in the shape: one-hot banks are exactly (4, Pp) channel
-    # rows; paged banks (scene/types._pack_paged_bank) are (32·pages, 1024).
-    if bank_ref.shape[0] != 4:
+    if paged:
         demand = (aux_ref[4, :] > 0.0) & (aux_ref[2, :] < jnp.inf)
         fetched = _fetch_paged(bank_ref, [idx[0], idx[4]], demand)
         base_c = _paged_corners(fetched[0], idx[0], idx[1], idx[2])
@@ -1172,7 +1214,8 @@ def shade_fused(
         return new_state[:, :R]
 
     tex_idx, svec = pl.pallas_call(
-        _make_prep_kernel(emissive_dummy, block_skip),
+        _make_prep_kernel(emissive_dummy, block_skip,
+                          tiled=scene.tiled_layout is not None),
         grid=(nb,),
         in_specs=[_rspec(PACKED_COLS), _rspec(8)],
         out_specs=[_rspec(8), _rspec(8)],

@@ -89,6 +89,57 @@ PAGE_TEXELS = 2048
 PAGE_SUB = PAGE_TEXELS // 1024  # 1024-column sub-blocks per page
 PAGE_ROWS = 16 * PAGE_SUB  # 4 corners × 4 channels × PAGE_SUB sub-blocks
 
+# 2-D page tiling: each page of a LARGE texture covers a 64×32-texel
+# rectangle instead of PAGE_TEXELS/width consecutive rows.  Row-major
+# paging made demanded-pages-per-chunk scale with the beam footprint's
+# HEIGHT in texture rows (a 512-wide texture packs only 4 rows per
+# page, so a 50-row-tall footprint demanded ~13 pages); a 64×32 tile
+# covers the same square footprint in 1-4 pages.  SMALL textures (fit
+# within one tile, incl. every 1×1 dummy) pack contiguously row-major
+# at the front of the bank so they share pages — giving each its own
+# page would spread the emissive-dummy fetch across one page PER
+# MATERIAL.  The in-kernel index math mirrors this split
+# (render/fused.py _prep_math tiled branch).
+PAGE_TILE_W = 64
+PAGE_TILE_H = PAGE_TEXELS // PAGE_TILE_W  # 32
+
+
+def _tiled_texel_map(P: int, color_desc: np.ndarray):
+    """Row-major texel index → tiled bank position.
+
+    Returns ``(q, off_map, padded_total)``: q is (P,) int64 (bank
+    position of each row-major texel), off_map is (T,) int64 (each
+    texture's bank base — what descriptor offsets remap to), and
+    padded_total is the bank's texel capacity (multiple of PAGE_TEXELS;
+    large textures pad each axis to tile multiples)."""
+    desc = np.asarray(color_desc, np.int64)
+    offs, ws, hs = desc[:, 0], desc[:, 1], desc[:, 2]
+    small = (ws <= PAGE_TILE_W) & (hs <= PAGE_TILE_H)
+    off_map = np.zeros(len(offs), np.int64)
+    pos = 0
+    for i in np.nonzero(small)[0]:
+        off_map[i] = pos
+        pos += ws[i] * hs[i]
+    pos = -(-pos // PAGE_TEXELS) * PAGE_TEXELS
+    tiles_x = -(-ws // PAGE_TILE_W)
+    for i in np.nonzero(~small)[0]:
+        off_map[i] = pos
+        pos += tiles_x[i] * (-(-hs[i] // PAGE_TILE_H)) * PAGE_TEXELS
+    padded_total = int(-(-pos // PAGE_TEXELS) * PAGE_TEXELS)
+
+    p = np.arange(P, dtype=np.int64)
+    t = np.searchsorted(offs, p, side="right") - 1
+    local = p - offs[t]
+    y, x = np.divmod(local, ws[t])
+    q_big = (
+        off_map[t]
+        + ((y // PAGE_TILE_H) * tiles_x[t] + x // PAGE_TILE_W) * PAGE_TEXELS
+        + (y % PAGE_TILE_H) * PAGE_TILE_W
+        + x % PAGE_TILE_W
+    )
+    q = np.where(small[t], off_map[t] + local, q_big)
+    return q, off_map, padded_total
+
 
 def _paged_corner_maps(P: int, color_desc: np.ndarray) -> np.ndarray:
     """(4, P) int64 texel index per bilinear corner of each base texel.
@@ -124,19 +175,23 @@ def _pack_paged_bank(
     color_u16: np.ndarray, color_desc: np.ndarray
 ) -> np.ndarray:
     """(P, 4) u16 + descriptors → (pages·PAGE_ROWS, 1024) f32 u16-VALUED
-    corner-expanded paged bank.
+    corner-expanded paged bank in the TILED layout (_tiled_texel_map).
 
     Page p occupies rows [PAGE_ROWS·p, PAGE_ROWS·(p+1)); within a page,
-    row = (4·corner + channel)·PAGE_SUB + sub and column = texel & 1023,
-    where sub = bits 10.. of the in-page texel index — so slicing one
-    page yields a (PAGE_ROWS, 1024) block whose single one-hot dot
-    against a (1024, CH) column mask fetches all four corners × four
-    channels × every sub-block at once (render/fused.py _fetch_paged)."""
+    row = (4·corner + channel)·PAGE_SUB + sub and column = q & 1023,
+    where q = the texel's TILED bank position and sub = bits 10.. of the
+    in-page q — so slicing one page yields a (PAGE_ROWS, 1024) block
+    whose single one-hot dot against a (1024, CH) column mask fetches
+    all four corners × four channels × every sub-block at once
+    (render/fused.py _fetch_paged).  The record's descriptor offsets and
+    color_packed_t are remapped to the same tiled space at bake
+    (build_device_scene), so every fused-path artifact agrees."""
     P = color_u16.shape[0]
-    pages = -(-P // PAGE_TEXELS)
+    q, _, padded_total = _tiled_texel_map(P, color_desc)
+    pages = padded_total // PAGE_TEXELS
     corners = _paged_corner_maps(P, color_desc)  # (4, P)
-    a = np.zeros((4, pages * PAGE_TEXELS, 4), np.float32)
-    a[:, :P] = color_u16.astype(np.float32)[corners]  # (4, P, 4)
+    a = np.zeros((4, padded_total, 4), np.float32)
+    a[:, q] = color_u16.astype(np.float32)[corners]  # (4, P, 4) scattered
     # (corner, p, sub, col, c) → (p, corner, c, sub, col)
     a = a.reshape(4, pages, PAGE_SUB, 1024, 4).transpose(1, 0, 4, 2, 3)
     return np.ascontiguousarray(a.reshape(pages * PAGE_ROWS, 1024))
@@ -164,8 +219,15 @@ PCOL_EMIS = 19  # 4
 PACKED_COLS = 24  # padded (sublane-friendly)
 
 
-def build_packed_record(shade_np: np.ndarray) -> np.ndarray:
-    """(T, 32) shade table → (T, 24) fused-pipeline record."""
+def build_packed_record(
+    shade_np: np.ndarray, tex_remap=None
+) -> np.ndarray:
+    """(T, 32) shade table → (T, 24) fused-pipeline record.
+
+    ``tex_remap``: optional (row_major_offsets, tiled_offsets) pair from
+    _tiled_texel_map — when the scene bakes a TILED paged bank, every
+    descriptor offset in the record is rewritten to the texture's tiled
+    bank base so the fused kernels' index math lands in that bank."""
     T = shade_np.shape[0]
     packed = np.zeros((T, PACKED_COLS), np.float32)
     packed[:, PCOL_NRM : PCOL_NRM + 15] = shade_np[:, COL_NRM : COL_NRM + 15]
@@ -174,7 +236,15 @@ def build_packed_record(shade_np: np.ndarray) -> np.ndarray:
         h = shade_np[:, src + 2]
         u_repeat = shade_np[:, src + 3] < 0  # sentinel lower bound = repeat
         v_repeat = shade_np[:, src + 5] < 0
-        packed[:, dst + 0] = shade_np[:, src + 0]  # offset
+        off = shade_np[:, src + 0]
+        if tex_remap is not None:
+            offs_rm, offs_tiled = tex_remap
+            t = np.searchsorted(offs_rm, off.astype(np.int64))
+            assert np.all(offs_rm[t] == off.astype(np.int64)), (
+                "descriptor offset not a texture base"
+            )
+            off = offs_tiled[t].astype(np.float32)
+        packed[:, dst + 0] = off
         packed[:, dst + 1] = np.where(u_repeat, -w, w)
         packed[:, dst + 2] = np.where(v_repeat, -h, h)
         packed[:, dst + 3] = shade_np[:, src + DESC_SCALE]
@@ -228,6 +298,13 @@ class DeviceScene(NamedTuple):
     # material's emissive entry is a 1×1 dummy (factor only), letting the
     # shade pipeline fetch one emissive texel instead of four.
     emissive_all_dummy: jnp.ndarray | None = None
+    # Static marker: the bake produced the TILED texel layout
+    # (_tiled_texel_map) — shade_table_t offsets, color_packed_t, and
+    # color_paged_t all live in tiled bank space, and the fused kernels'
+    # texel-index math must use the tiled formula (fused._prep_math).
+    # Kept separate from color_paged_t so forcing the gather path
+    # (e.g. tests nulling the bank) stays consistent.
+    tiled_layout: jnp.ndarray | None = None
     # Extension data (render/extensions.py; the reference has none of this):
     # emissive-triangle sampling table for NEE, and per-unique-triangle
     # (metallic, roughness) factors for the pbr scatter.
@@ -254,6 +331,17 @@ def _pack_color_bank(color_u16: np.ndarray) -> np.ndarray:
             | (color_u16[:, 3].astype(np.uint32) << 16),
         ]
     ).view(np.int32)
+
+
+def _scatter_tiled(bank_rows: np.ndarray, paged_layout) -> np.ndarray:
+    """(K, P) per-texel bank → (K, padded_total) in the tiled layout
+    (_tiled_texel_map), zero-filled padding.  Keeps the 3-stage gather
+    path consistent with the tiled record offsets when a paged bank was
+    baked (the gather indices are computed by the SAME tiled formula)."""
+    q, _, padded_total = paged_layout
+    out = np.zeros((bank_rows.shape[0], padded_total), bank_rows.dtype)
+    out[:, q] = bank_rows
+    return out
 
 
 def _desc_to_f32(desc_rows: np.ndarray) -> np.ndarray:
@@ -333,6 +421,21 @@ def build_device_scene(
         if use_mxu
         else None
     )
+    # Paged-bank decision up front: the TILED layout pads large textures
+    # to 64×32-tile multiples, so the PAGED_MAX_TEXELS cap applies to the
+    # PADDED capacity (what the bank actually allocates), not the raw
+    # texel count.
+    paged_layout = None
+    if (
+        mxu is not None
+        and materials.color_u16 is not None
+        and materials.color_u16.shape[0] > ONEHOT_MAX_TEXELS
+    ):
+        q_map, off_map, padded_total = _tiled_texel_map(
+            materials.color_u16.shape[0], materials.color_desc
+        )
+        if padded_total <= PAGED_MAX_TEXELS:
+            paged_layout = (q_map, off_map, padded_total)
     return DeviceScene(
         grid=GridParams(
             bbox_min=jnp.asarray(grid.bbox_min, jnp.float32),
@@ -352,7 +455,19 @@ def build_device_scene(
         shade_table_t=(
             jnp.asarray(
                 np.ascontiguousarray(
-                    build_packed_record(shade_np)[np.asarray(mxu.perm)].T
+                    build_packed_record(
+                        shade_np,
+                        tex_remap=(
+                            (
+                                np.asarray(
+                                    materials.color_desc[:, 0], np.int64
+                                ),
+                                paged_layout[1],
+                            )
+                            if paged_layout is not None
+                            else None
+                        ),
+                    )[np.asarray(mxu.perm)].T
                 )
             )
             if mxu is not None
@@ -364,7 +479,13 @@ def build_device_scene(
             else None
         ),
         color_packed_t=(
-            jnp.asarray(_pack_color_bank(materials.color_u16))
+            jnp.asarray(
+                _pack_color_bank(materials.color_u16)
+                if paged_layout is None
+                else _scatter_tiled(
+                    _pack_color_bank(materials.color_u16), paged_layout
+                )
+            )
             if mxu is not None and materials.color_u16 is not None
             else None
         ),
@@ -385,12 +506,11 @@ def build_device_scene(
             jnp.asarray(
                 _pack_paged_bank(materials.color_u16, materials.color_desc)
             )
-            if mxu is not None
-            and materials.color_u16 is not None
-            and ONEHOT_MAX_TEXELS
-            < materials.color_u16.shape[0]
-            <= PAGED_MAX_TEXELS
+            if paged_layout is not None
             else None
+        ),
+        tiled_layout=(
+            jnp.zeros(0, jnp.float32) if paged_layout is not None else None
         ),
         emissive_all_dummy=(
             jnp.zeros(0, jnp.float32)
