@@ -1,0 +1,247 @@
+"""Lane-level cull-union simulator — the round-4 decision gate
+(docs/NEXT.md).  Two phases:
+
+  python scripts/cull_sim.py --dump /tmp/waves.npz [--side=N] [--R=2^k]
+      Runs the real trace per bounce (chip or CPU) and dumps, per bounce,
+      the wave's state16 rows 0-5 (origin/direction), the final best t,
+      the winner's geometric normal (origin-surface normal of the NEXT
+      bounce's rays), and aux row 5 (tiles actually swept, for
+      calibration) — plus the baked tile boxes.
+
+  python scripts/cull_sim.py --sim /tmp/waves.npz
+      Pure numpy.  For each bounce, computes the occlusion-ideal per-lane
+      tile-need set (slab entry <= final best t) and reports, for each
+      candidate sub-block granularity L in {1024, 512, 256, 128, 64}:
+      the mean union size per L-lane sub-block and the resulting
+      TRI-LANE SWEEP OPS PER RAY (union * L * tile / L = union * tile per
+      lane) relative to the production granularity — the quantity the
+      trace kernel's 2.0-2.4 us/block-sweep is proportional to.  Also
+      simulates the tangent-hemisphere cull (docs/NEXT.md candidate 2):
+      drops tiles entirely behind the lane's origin-surface tangent
+      plane before taking unions.
+
+The dump uses the ACTUAL sampler (same RNG, same sort) so bounce-1+
+direction distributions are the production ones, not a model.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def dump(out_path: str, side: int | None, R: int,
+         interpret: bool = False) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_bench_scene, build_large_scene
+    from zig_raytracing_contest_tpu.config import Config
+    from zig_raytracing_contest_tpu.ops import rng
+    from zig_raytracing_contest_tpu.ops.mxu_intersect import trace_emit_aux
+    from zig_raytracing_contest_tpu.render import wavefront
+    from zig_raytracing_contest_tpu.render.fused import shade_fused
+    from zig_raytracing_contest_tpu.render.pipeline import prepare_scene
+
+    width, height = (1280, 720) if side else (1920, 1080)
+    cfg = Config(grid_resolution=(128, 128, 128))
+    with tempfile.TemporaryDirectory() as d:
+        p = (
+            build_large_scene(Path(d) / "s.gltf", side=side)
+            if side
+            else build_bench_scene(Path(d) / "s.gltf")
+        )
+        scene, cam, _ = prepare_scene(
+            str(p), cfg, camera_name="Camera 1", width=width, height=height
+        )
+    sort_rays = scene.mxu.tri_data.shape[1] > wavefront.SORT_MIN_TRIS
+
+    # Cover the FULL frame (top rows alone are sky): default R is one
+    # primary ray per pixel (all standard frame sizes here are multiples
+    # of 1024); a smaller requested R strides pixels across the frame —
+    # full coverage matters more than block composition for union stats
+    # (the large scenes re-sort by the 6-D Morton key anyway).
+    pixels = width * height
+    if R >= pixels:
+        R = pixels
+        pix = jnp.arange(R, dtype=jnp.int32)
+    else:
+        pix = (jnp.arange(R, dtype=jnp.int32) * (pixels // R)).astype(
+            jnp.int32
+        )
+    local = jnp.arange(R, dtype=jnp.int32)
+    streams = rng.ray_streams(jnp.uint32(0), local)
+    y = (pix // width).astype(jnp.float32)
+    x = (pix - (pix // width) * width).astype(jnp.float32)
+    jx, jy = rng.uniform2_soa(streams, 0)
+    llc = jnp.asarray(cam.lower_left_corner)
+    dr = [llc[a] + cam.right[a] * (x + jx) + cam.up[a] * (y + jy)
+          for a in range(3)]
+    inv_len = 1.0 / jnp.sqrt(dr[0] ** 2 + dr[1] ** 2 + dr[2] ** 2)
+    ones = jnp.ones((R,), jnp.float32)
+    zeros = jnp.zeros((R,), jnp.float32)
+    state = jnp.stack(
+        [
+            cam.origin[0] * ones, cam.origin[1] * ones, cam.origin[2] * ones,
+            dr[0] * inv_len, dr[1] * inv_len, dr[2] * inv_len,
+            ones, ones, ones, zeros, zeros, zeros,
+            ones, jax.lax.bitcast_convert_type(streams, jnp.float32),
+            zeros, zeros,
+        ],
+        axis=0,
+    )
+
+    tri_data = np.asarray(scene.mxu.tri_data)  # (13, Tp) transform bank
+    payload: dict[str, np.ndarray] = {
+        "tile_bbox": np.asarray(scene.mxu.tile_bbox),
+        "tile": np.int32(scene.mxu.tile),
+    }
+    normal = np.zeros((3, R), np.float32)  # camera rays: no surface yet
+    for bounce in range(4):
+        if sort_rays:
+            perm = jnp.argsort(wavefront._ray_sort_key(scene, state))
+            state = jnp.take(state, perm, axis=1)
+            normal = normal[:, np.asarray(perm)]
+        aux, tri, rec = trace_emit_aux(
+            scene.mxu, state, rec_table=scene.shade_table_t,
+            interpret=interpret,
+        )
+        st_np = np.asarray(state)
+        aux_np = np.asarray(aux)
+        payload[f"b{bounce}_od"] = st_np[0:6]
+        payload[f"b{bounce}_alive"] = aux_np[4] > 0.0
+        payload[f"b{bounce}_t"] = aux_np[2]
+        payload[f"b{bounce}_swept"] = aux_np[5]
+        payload[f"b{bounce}_normal"] = normal
+        # Winner geometric normal (bank rows 6:9 hold n/|n|^2) becomes the
+        # NEXT bounce's origin-surface normal.
+        idx = np.asarray(tri[0] if isinstance(tri, (tuple, list)) else tri)
+        idx = np.clip(idx.astype(np.int64), 0, tri_data.shape[1] - 1)
+        nvec = tri_data[6:9, idx]
+        nlen = np.sqrt((nvec**2).sum(axis=0))
+        normal = np.where(nlen > 0, nvec / np.maximum(nlen, 1e-30), 0.0)
+        normal = normal.astype(np.float32)
+        state = shade_fused(scene, state, aux, tri, bounce,
+                            block_skip=sort_rays, rec=rec,
+                            interpret=interpret)
+    np.savez_compressed(out_path, **payload)
+    print(f"dumped {R} rays x 4 bounces -> {out_path}")
+
+
+def simulate(npz_path: str) -> None:
+    z = np.load(npz_path)
+    bb = z["tile_bbox"].astype(np.float64)  # (6, T)
+    lo, hi = bb[0:3], bb[3:6]  # (3, T)
+    T = bb.shape[1]
+    grans = [1024, 512, 256, 128, 64]
+    print(f"tiles={T}  granularities={grans}")
+    print("sweep-ops/ray = mean over sub-blocks of union(L) * tile "
+          "(tri-lane ops per lane; production = L 512/1024 column)")
+    for bounce in range(4):
+        od = z[f"b{bounce}_od"].astype(np.float64)  # (6, R)
+        alive = z[f"b{bounce}_alive"]
+        tfin = z[f"b{bounce}_t"].astype(np.float64)
+        nrm = z[f"b{bounce}_normal"].astype(np.float64)  # (3, R)
+        swept = z[f"b{bounce}_swept"]
+        R = od.shape[1]
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            print(f"bounce {bounce}: no live rays")
+            continue
+        tfin = np.where(np.isfinite(tfin), tfin, np.inf)
+        have_nrm = (nrm**2).sum(axis=0) > 0.5
+
+        CH = 32 * 1024  # rays per numpy chunk (peak ~(CH, T) f32 arrays)
+        uni = {L: 0.0 for L in grans}  # sum over sub-blocks of union size
+        uni_hemi = {L: 0.0 for L in grans}
+        need_per_ray = 0.0
+        lo32 = lo.astype(np.float32)
+        hi32 = hi.astype(np.float32)
+        for c0 in range(0, R, CH):
+            c1 = min(c0 + CH, R)
+            o = od[0:3, c0:c1].astype(np.float32)  # (3, C)
+            d = od[3:6, c0:c1].astype(np.float32)
+            # Slab test against every tile, accumulated per axis to keep
+            # the live arrays at (C, T) f32.
+            tmin = np.full((c1 - c0, T), -np.inf, np.float32)
+            tmax = np.full((c1 - c0, T), np.inf, np.float32)
+            fdot = np.zeros((c1 - c0, T), np.float32)  # hemi far-corner dot
+            n = nrm[:, c0:c1].astype(np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for a3 in range(3):
+                    inv = 1.0 / d[a3]
+                    ta = (lo32[a3][None, :] - o[a3][:, None]) * inv[:, None]
+                    tb = (hi32[a3][None, :] - o[a3][:, None]) * inv[:, None]
+                    tmin = np.maximum(tmin, np.fmin(ta, tb))
+                    tmax = np.minimum(tmax, np.fmax(ta, tb))
+                    far = np.where(
+                        n[a3][:, None] > 0, hi32[a3][None, :],
+                        lo32[a3][None, :],
+                    )
+                    fdot += n[a3][:, None] * far
+            a = alive[c0:c1]
+            need = (
+                (tmin <= np.minimum(tmax, tfin[c0:c1, None].astype(np.float32)))
+                & (tmax >= 0.0)
+                & a[:, None]
+            )
+            need_per_ray += float(need.sum())
+            # Tangent-hemisphere cull: drop tiles whose box is entirely
+            # behind the lane's origin tangent plane (n . (x - o) < 0 for
+            # every corner <=> n . (corner picked by sign(n)) < n . o).
+            behind = fdot < (n * o).sum(axis=0)[:, None]
+            need_h = need & ~(behind & have_nrm[c0:c1, None])
+            for L in grans:
+                nb = (c1 - c0) // L
+                u = need[: nb * L].reshape(nb, L, T).any(axis=1)
+                uh = need_h[: nb * L].reshape(nb, L, T).any(axis=1)
+                uni[L] += float(u.sum())
+                uni_hemi[L] += float(uh.sum())
+        mean_swept = float(np.where(alive, swept, 0.0).sum()) / n_alive
+        print(
+            f"bounce {bounce}: alive {n_alive}/{R}  kernel-swept/ray "
+            f"{mean_swept:.2f}  occlusion-ideal need/alive-ray "
+            f"{need_per_ray / n_alive:.2f}"
+        )
+        for L in grans:
+            nb = R // L
+            # Sweep cost per RAY at granularity L: each sub-block sweeps
+            # union tiles over L lanes -> union * tile tri-lane ops / L
+            # lanes... per-lane cost = union * tile. Report union and the
+            # per-ray op count relative to tiles.
+            mu = uni[L] / nb
+            mh = uni_hemi[L] / nb
+            print(
+                f"    L={L:5d}: union/sub-block {mu:7.2f}"
+                f"  (+hemi-cull {mh:7.2f})"
+                f"  sweep-ops/ray ~ {mu * int(z['tile']):9.0f}"
+                f"  ({mh * int(z['tile']):9.0f} with hemi)"
+            )
+
+
+def main() -> int:
+    side = None
+    R = 1 << 18
+    for a in sys.argv[1:]:
+        if a.startswith("--side="):
+            side = int(a.split("=")[1])
+        if a.startswith("--R="):
+            R = int(a.split("=")[1], 0)
+    if "--dump" in sys.argv:
+        out = sys.argv[sys.argv.index("--dump") + 1]
+        dump(out, side, R, interpret="--interpret" in sys.argv)
+        return 0
+    if "--sim" in sys.argv:
+        simulate(sys.argv[sys.argv.index("--sim") + 1])
+        return 0
+    print(__doc__)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
