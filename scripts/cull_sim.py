@@ -224,17 +224,130 @@ def simulate(npz_path: str) -> None:
             )
 
 
+def simulate_leaf(npz_path: str, side: int | None, leaf: int = 64) -> None:
+    """Candidate-4 decision gate (docs/NEXT.md): re-bake the scene's
+    triangle ORDER with ``leaf``-sized spatial splits (pure host numpy —
+    _bvh_order at cap ``leaf`` makes every consecutive leaf chunk AND
+    every consecutive pair a real split product), then price, on the same
+    dumped waves:
+
+      - tile=128 full sweeps over the new order (baseline, ops = union128 * 128)
+      - tile=128 with per-HALF masked sweeps (ops = 64 * halves-needed)
+      - tile=64 leaves outright (ops = union64 * 64; ignores the Mosaic
+        lane-alignment problem — upper bound for any 64-granular kernel)
+
+    Need criterion per box: slab entry <= min(exit, final best t), exit >= 0
+    — identical to simulate()'s occlusion-ideal accounting."""
+    import tempfile
+
+    from bench import build_bench_scene, build_large_scene
+    from zig_raytracing_contest_tpu.ops.mxu_intersect import _bvh_order
+    from zig_raytracing_contest_tpu.scene.geometry import load_geometry
+    from zig_raytracing_contest_tpu.scene.gltf import load_gltf
+
+    with tempfile.TemporaryDirectory() as d:
+        p = (
+            build_large_scene(Path(d) / "s.gltf", side=side)
+            if side
+            else build_bench_scene(Path(d) / "s.gltf")
+        )
+        geometry = load_geometry(load_gltf(str(p)))
+    pos = geometry.positions.astype(np.float64)  # (T, 3 verts, 3)
+    T = pos.shape[0]
+    centroid = pos.mean(axis=1)
+    order = _bvh_order(centroid, leaf)
+    pos = pos[order]
+
+    def chunk_boxes(size):
+        n = -(-T // size)
+        lo = np.full((3, n), np.inf, np.float32)
+        hi = np.full((3, n), -np.inf, np.float32)
+        for i in range(n):
+            flat = pos[i * size : min((i + 1) * size, T)].reshape(-1, 3)
+            lo[:, i] = flat.min(axis=0)
+            hi[:, i] = flat.max(axis=0)
+        return lo, hi
+
+    lo64, hi64 = chunk_boxes(leaf)
+    n64 = lo64.shape[1]
+    n128 = -(-n64 // 2)
+
+    z = np.load(npz_path)
+    grans = [512, 256, 128]
+    print(f"tris={T}  leaves({leaf})={n64}  tiles(128)={n128}")
+    for bounce in range(4):
+        od = z[f"b{bounce}_od"].astype(np.float64)
+        alive = z[f"b{bounce}_alive"]
+        tfin = z[f"b{bounce}_t"].astype(np.float64)
+        R = od.shape[1]
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            print(f"bounce {bounce}: no live rays")
+            continue
+        tfin = np.where(np.isfinite(tfin), tfin, np.inf)
+
+        CH = 32 * 1024
+        acc = {L: [0.0, 0.0, 0.0] for L in grans}  # [full128, half, leaf64]
+        for c0 in range(0, R, CH):
+            c1 = min(c0 + CH, R)
+            o = od[0:3, c0:c1].astype(np.float32)
+            dvec = od[3:6, c0:c1].astype(np.float32)
+            tmin = np.full((c1 - c0, n64), -np.inf, np.float32)
+            tmax = np.full((c1 - c0, n64), np.inf, np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for a3 in range(3):
+                    inv = 1.0 / dvec[a3]
+                    ta = (lo64[a3][None, :] - o[a3][:, None]) * inv[:, None]
+                    tb = (hi64[a3][None, :] - o[a3][:, None]) * inv[:, None]
+                    tmin = np.maximum(tmin, np.fmin(ta, tb))
+                    tmax = np.minimum(tmax, np.fmax(ta, tb))
+            a = alive[c0:c1]
+            need64 = (
+                (tmin <= np.minimum(tmax, tfin[c0:c1, None].astype(np.float32)))
+                & (tmax >= 0.0)
+                & a[:, None]
+            )
+            # Pad the leaf axis to an even count for pairing.
+            if n64 % 2:
+                need64 = np.concatenate(
+                    [need64, np.zeros((c1 - c0, 1), bool)], axis=1
+                )
+            for L in grans:
+                nb = (c1 - c0) // L
+                u64 = need64[: nb * L].reshape(nb, L, -1).any(axis=1)
+                pair = u64.reshape(nb, -1, 2)
+                halves = pair.sum(axis=2)  # 0/1/2 needed halves per tile
+                acc[L][0] += float((halves > 0).sum()) * 128
+                acc[L][1] += float(halves.sum()) * 64
+                acc[L][2] += float(u64.sum()) * 64
+        print(f"bounce {bounce}: alive {n_alive}/{R}")
+        for L in grans:
+            nb = R // L
+            full, half, l64 = (x / nb for x in acc[L])
+            print(
+                f"    L={L:4d}: sweep-ops/ray  tile128-full {full:9.0f}"
+                f"  tile128-half {half:9.0f} ({half/max(full,1e-9):.2f}x)"
+                f"  leaf64 {l64:9.0f} ({l64/max(full,1e-9):.2f}x)"
+            )
+
+
 def main() -> int:
     side = None
     R = 1 << 18
+    leaf = 64
     for a in sys.argv[1:]:
         if a.startswith("--side="):
             side = int(a.split("=")[1])
         if a.startswith("--R="):
             R = int(a.split("=")[1], 0)
+        if a.startswith("--leaf="):
+            leaf = int(a.split("=")[1])
     if "--dump" in sys.argv:
         out = sys.argv[sys.argv.index("--dump") + 1]
         dump(out, side, R, interpret="--interpret" in sys.argv)
+        return 0
+    if "--sim64" in sys.argv:
+        simulate_leaf(sys.argv[sys.argv.index("--sim64") + 1], side, leaf)
         return 0
     if "--sim" in sys.argv:
         simulate(sys.argv[sys.argv.index("--sim") + 1])

@@ -93,6 +93,42 @@ def test_tree_traversal_matches_oracle():
     np.testing.assert_array_equal(np.asarray(aux[1])[hit], np.asarray(v_x)[hit])
 
 
+def test_subbeam_traversal_matches_oracle(monkeypatch):
+    """SUBBEAM_TRAVERSE > 1 runs one independent heap walk per 128-lane
+    sub-range (own stack, own running best, own cull union).  The nearest
+    hit must match the flat XLA oracle exactly on every active lane —
+    per-lane nearest-hit folding is order-independent."""
+    from zig_raytracing_contest_tpu.ops import mxu_intersect as mi
+
+    tris = _random_bank(7)
+    R = 1024
+    streams = rng.ray_streams(jnp.uint32(21), jnp.arange(R, dtype=jnp.int32))
+    org = (
+        jnp.stack([rng.uniform(streams, 40 + k) for k in range(3)], 1) * 16.0
+        - 8.0
+    )
+    g = jnp.stack([rng.normal3(streams, 9)[:, a] for a in range(3)], 1)
+    d = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+    active = rng.uniform(streams, 50) < 0.9
+
+    t_x, i_x, u_x, v_x = nearest_hit_xla(tris, org, d, active)
+    state = _state16(org, d, active, streams, R)
+
+    monkeypatch.setattr(mi, "SUBBEAM_TRAVERSE", 4)
+    trace_emit_aux._clear_cache()
+    aux, idx_m, _ = trace_emit_aux(tris, state, interpret=True)
+    trace_emit_aux._clear_cache()
+
+    act = np.asarray(active)
+    t_o = np.asarray(t_x)
+    hit = act & np.isfinite(t_o)
+    assert hit.sum() > 100
+    np.testing.assert_array_equal(np.asarray(aux[2])[act], t_o[act])
+    np.testing.assert_array_equal(np.asarray(idx_m)[hit], np.asarray(i_x)[hit])
+    np.testing.assert_array_equal(np.asarray(aux[0])[hit], np.asarray(u_x)[hit])
+    np.testing.assert_array_equal(np.asarray(aux[1])[hit], np.asarray(v_x)[hit])
+
+
 def test_streaming_group_tree_matches_oracle(monkeypatch):
     """The HBM-streaming kernel's tree-over-groups traversal (forced via
     the VMEM threshold, with enough groups to cross the tree gate) agrees

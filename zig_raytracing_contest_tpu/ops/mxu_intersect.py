@@ -983,6 +983,23 @@ SEED_PREV_TILE = False
 # SMEM budget allows).  64 gives slack; _tree_traverse documents the
 # invariant.
 TREE_MAX_STACK = 64
+# Independent per-sub-beam traversal (round 3, cull-union simulation —
+# docs/NEXT.md): the resident tree path runs this many SEPARATE heap
+# walks per lane block, each over a LANE_BLOCK/n lane sub-range with its
+# own DFS stack and its own running best, so each sub-beam sweeps only
+# ITS cull union.  The lane-level simulator (scripts/cull_sim.py) on real
+# bounce waves of the 100k scene measured the 512-lane union at 75-103
+# tiles vs 37-47 at 128 lanes — halving L multiplies the union by ~0.70 —
+# so 4 sub-beams cut sweep VECTOR ops 2.0-2.2× at the cost of ~4× tree
+# expansions (~0.5 µs/step) and narrower (Kt, 128) sweeps.  Distinct from
+# the measured-worse SUBBLOCK_SWEEP predication, which gated sub-ranges
+# inside ONE shared tile order and paid a branch + reduce on every shared
+# tile; here each sub-beam's traversal never even reaches tiles outside
+# its own union.  Exact by construction: nearest-hit folding is
+# order-independent per lane, and every lane still sees every tile its
+# own rays can hit.  1 = whole-block traversal (off); sub-beams must stay
+# lane-aligned (LANE_BLOCK/n a multiple of 128).
+SUBBEAM_TRAVERSE = 1
 
 
 def _seed_prev_tiles(prev, active, tile: int, num_tiles, sweep_tile):
@@ -1039,17 +1056,28 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
     if deferred:
         extract_uv = False
 
-    def sweep_tile(jt):
+    def sweep_tile(jt, sl=slice(None)):
         # (On the official 7-tile scene, sub-block predication measured
         # WORSE — trace 364 → 442 ms/frame: the per-sub-block branch +
         # reduce overhead exceeds the finer-cull savings there.  Large
         # diverged scenes are gated by SUBBLOCK_SWEEP.)
+        # ``sl``: static lane sub-range when the per-sub-beam traversal
+        # drives this sweep (SUBBEAM_TRAVERSE > 1) — the update touches
+        # only that sub-beam's lanes.
         s = pl.multiple_of(jt * tile, tile)
         rows = tri_ref[:, pl.ds(s, tile)]  # (13, Kt)
         table_rows = (
             sweep_table[:, pl.ds(s, tile)] if sweep_table is not None
             else None
         )
+        if sl != slice(None):
+            _tile_update(
+                rows, o[0], o[1], o[2], d[0], d[1], d[2], s, Tp,
+                aux_ref, idx_ref, sl=sl, table_rows=table_rows,
+                rec_ref=sweep_rec, extract_uv=extract_uv,
+                origin=origin, prev=prev,
+            )
+            return
         if SUBBLOCK_SWEEP > 1:
             lb = aux_ref.shape[1]
             w = lb // SUBBLOCK_SWEEP
@@ -1100,6 +1128,27 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
         ):
             # The traversal's own child test IS the tile cull (leaf box =
             # tile box), so leaves sweep directly.
+            lb = aux_ref.shape[1]
+            nsb = SUBBEAM_TRAVERSE
+            if nsb > 1 and lb % (nsb * 128) == 0:
+                # Independent per-sub-beam walks (see SUBBEAM_TRAVERSE):
+                # each 1/nsb lane sub-range traverses with its own stack
+                # (reused sequentially) and its own running best, sweeping
+                # only the tiles ITS beam reaches.
+                w = lb // nsb
+                for q in range(nsb):
+                    sl = slice(q * w, (q + 1) * w)
+                    o_sl = oc if origin is not None else (
+                        o[0][sl], o[1][sl], o[2][sl]
+                    )
+                    inv_sl = (inv[0][sl], inv[1][sl], inv[2][sl])
+                    _tree_traverse(
+                        tree_ref, stack_ref, o_sl, inv_sl, active[sl],
+                        aux_ref,
+                        lambda jt, real, sl=sl: sweep_tile(jt, sl=sl),
+                        num_tiles, sl=sl,
+                    )
+                return
             _tree_traverse(
                 tree_ref, stack_ref, oc, inv, active, aux_ref,
                 lambda jt, real: sweep_tile(jt), num_tiles,
@@ -1140,7 +1189,7 @@ def _trace_body_resident(state_ref, tri_ref, bbox_ref, gbox_ref, aux_ref,
 
 
 def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
-                   num_tiles):
+                   num_tiles, sl=slice(None)):
     """Depth-first traversal of the binary Morton heap, expanding THREE
     levels per step: each pop tests its node's 8 GREAT-GRANDCHILDREN in
     one (8, LB) slab batch with a single lane-reduce, visiting them
@@ -1178,10 +1227,10 @@ def _tree_traverse(tree_ref, stack_ref, o, inv, active, aux_ref, visit_tile,
     def body(sp):
         sp = sp - 1
         node = stack_ref[sp]
-        best = aux_ref[2, :]
+        best = aux_ref[2, sl]
         # Diagnostic: expansions (while-loop iterations) per block — aux
         # row 6 (row 5 counts tile sweeps); scripts/cull_stats.py reads it.
-        aux_ref[6, :] = aux_ref[6, :] + 1.0
+        aux_ref[6, sl] = aux_ref[6, sl] + 1.0
         base = 8 * node
         ent = _cull_entry_batch(
             tree_ref, [base + j for j in range(8)], o, inv, best, active
