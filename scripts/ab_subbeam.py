@@ -8,6 +8,12 @@ sub-beams — against ~4x tree expansions (~0.5 us/step).  This script
 prices the net effect end-to-end per value.
 
 Run on the TPU chip:  python scripts/ab_subbeam.py [--large-only|--official-only]
+                      [--nsb=2,4]   (default 1,2,4; one process per value is
+                                     the timeout-safe pattern on the tunnel)
+
+Note: the official bench scene has 7 tiles < TREE_MIN_TILES=16, so the
+tree path (and therefore SUBBEAM_TRAVERSE) never engages there — its rows
+only pin that the lever is a no-op on small scenes.
 """
 import sys
 import tempfile
@@ -56,8 +62,12 @@ def main():
                                    width=1280, height=720)
         workloads.append(("large", sc, cam, cfg_l))
 
+    nsbs = (1, 2, 4)
+    for a in sys.argv:
+        if a.startswith("--nsb="):
+            nsbs = tuple(int(x) for x in a[len("--nsb="):].split(","))
     base = mi.SUBBEAM_TRAVERSE
-    for nsb in (1, 2, 4):
+    for nsb in nsbs:
         mi.SUBBEAM_TRAVERSE = nsb
         jax.clear_caches()
         for name, sc, cam, cfg in workloads:

@@ -2,6 +2,8 @@
 bounce, on the real bench scenes (aux row 5 from the trace kernels).
 
 Run: python scripts/cull_stats.py [--large] [--side=N] [--sort | --nosort]
+     [--nsb=N]   (sets SUBBEAM_TRAVERSE for the run — counter decomposition
+                  of the per-sub-beam traversal lever)
 
 --side=N overrides the terrain size of the --large scene (2*N^2 triangles;
 implies --large), for the 500k/2M/4M streaming-regime curve.
@@ -30,6 +32,9 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--side="):
             side = int(a.split("=")[1])
+        if a.startswith("--nsb="):
+            import zig_raytracing_contest_tpu.ops.mxu_intersect as mi
+            mi.SUBBEAM_TRAVERSE = int(a.split("=")[1])
     large = "--large" in sys.argv or side is not None
     R = (1 << 18 if side and side > 500 else 1 << 21) if large else 1 << 18
     width = 640 if side and side > 500 else 1280
