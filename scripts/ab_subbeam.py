@@ -66,6 +66,19 @@ def main():
     for a in sys.argv:
         if a.startswith("--nsb="):
             nsbs = tuple(int(x) for x in a[len("--nsb="):].split(","))
+    # The kernel silently falls back to whole-block traversal when a
+    # sub-beam is not lane-aligned (mxu_intersect._trace_body_resident:
+    # nsb > 1 requires LANE_BLOCK % (nsb*128) == 0) — reject such values
+    # up front so every printed row measures what it claims (ADVICE r3).
+    for nsb in nsbs:
+        if nsb > 1:
+            for lb in (mi.LANE_BLOCK, mi.LANE_BLOCK_RESIDENT):
+                if lb % (nsb * 128) != 0:
+                    print(f"error: --nsb={nsb} is not lane-aligned for "
+                          f"LANE_BLOCK={lb} (needs lb % (nsb*128) == 0); "
+                          f"the kernel would silently run nsb=1",
+                          file=sys.stderr)
+                    return 2
     base = mi.SUBBEAM_TRAVERSE
     for nsb in nsbs:
         mi.SUBBEAM_TRAVERSE = nsb

@@ -102,11 +102,14 @@ def dump(out_path: str, side: int | None, R: int,
         "tile": np.int32(scene.mxu.tile),
     }
     normal = np.zeros((3, R), np.float32)  # camera rays: no surface yet
+    wtile = np.full((R,), -1, np.int32)  # previous bounce's winner tile
     for bounce in range(4):
         if sort_rays:
             perm = jnp.argsort(wavefront._ray_sort_key(scene, state))
             state = jnp.take(state, perm, axis=1)
-            normal = normal[:, np.asarray(perm)]
+            perm_np = np.asarray(perm)
+            normal = normal[:, perm_np]
+            wtile = wtile[perm_np]
         aux, tri, rec = trace_emit_aux(
             scene.mxu, state, rec_table=scene.shade_table_t,
             interpret=interpret,
@@ -118,10 +121,17 @@ def dump(out_path: str, side: int | None, R: int,
         payload[f"b{bounce}_t"] = aux_np[2]
         payload[f"b{bounce}_swept"] = aux_np[5]
         payload[f"b{bounce}_normal"] = normal
+        payload[f"b{bounce}_prevtile"] = wtile  # -1 on camera rays/misses
         # Winner geometric normal (bank rows 6:9 hold n/|n|^2) becomes the
         # NEXT bounce's origin-surface normal.
         idx = np.asarray(tri[0] if isinstance(tri, (tuple, list)) else tri)
         idx = np.clip(idx.astype(np.int64), 0, tri_data.shape[1] - 1)
+        hit_mask = (aux_np[4] > 0.0) & np.isfinite(aux_np[2]) & (
+            aux_np[2] < 1e30
+        )
+        wtile = np.where(
+            hit_mask, (idx // int(scene.mxu.tile)).astype(np.int32), -1
+        )
         nvec = tri_data[6:9, idx]
         nlen = np.sqrt((nvec**2).sum(axis=0))
         normal = np.where(nlen > 0, nvec / np.maximum(nlen, 1e-30), 0.0)
@@ -331,6 +341,125 @@ def simulate_leaf(npz_path: str, side: int | None, leaf: int = 64) -> None:
             )
 
 
+def simulate_bin(npz_path: str) -> None:
+    """Ray-tile binning decision gate (VERDICT r3 item 3).
+
+    The pipeline ALREADY argsorts the wave every bounce (6-D interleaved
+    origin+direction Morton key, wavefront._ray_sort_key) — so re-binning
+    rays by a tile-aware key costs nothing new on device; the question is
+    only whether any implementable key shrinks the per-block cull union
+    toward the ~5-tile per-ray ideal.  This prices, on the dumped waves
+    (which are stored in PRODUCTION sort order):
+
+      key=asis      the production 6-D Morton order (calibration row)
+      key=prevtile  (prev-hit tile id, direction Morton) — the prev-hit
+                    tile IS on device at sort time (winner index >> log2
+                    tile); tiles are Morton/BVH-ordered at bake, so close
+                    ids are close in space — a finer, occupancy-adaptive
+                    position code than the 5-bit/axis grid
+      key=neartile  (nearest NEEDED tile id, direction Morton) — oracle:
+                    needs the trace result it is supposed to accelerate;
+                    upper bound for any first-tile binning
+      key=needset   greedy need-set ordering: sort by the ray's full
+                    needed-tile bitset (lexicographic over the first 8
+                    needed ids) — upper bound for set-similarity binning
+
+    Unions are computed exactly like simulate() (occlusion-ideal need:
+    slab entry <= min(exit, final best t), exit >= 0, alive lanes only).
+    """
+    z = np.load(npz_path)
+    bb = z["tile_bbox"].astype(np.float64)
+    lo32, hi32 = bb[0:3].astype(np.float32), bb[3:6].astype(np.float32)
+    T = bb.shape[1]
+    tile = int(z["tile"])
+    grans = [512, 256, 128]
+    print(f"tiles={T}  granularities={grans}  (union/sub-block; lower is "
+          f"fewer sweeps — production kernel sweeps the L=512 union)")
+    for bounce in range(4):
+        od = z[f"b{bounce}_od"].astype(np.float32)
+        alive = z[f"b{bounce}_alive"]
+        tfin = z[f"b{bounce}_t"].astype(np.float64)
+        if f"b{bounce}_prevtile" not in z.files:
+            print("dump has no prevtile rows — re-dump with this script")
+            return
+        ptile = z[f"b{bounce}_prevtile"]
+        R = od.shape[1]
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            print(f"bounce {bounce}: no live rays")
+            continue
+        tfin = np.where(np.isfinite(tfin), tfin, np.inf).astype(np.float32)
+
+        # Full need matrix (R, T) as packed bits to bound memory
+        # (2^18 * 785 bools = 205 MB; fine as bool for these R).
+        need = np.zeros((R, T), bool)
+        tentry = np.zeros((R, T), np.float32)
+        CH = 32 * 1024
+        for c0 in range(0, R, CH):
+            c1 = min(c0 + CH, R)
+            o = od[0:3, c0:c1]
+            d = od[3:6, c0:c1]
+            tmin = np.full((c1 - c0, T), -np.inf, np.float32)
+            tmax = np.full((c1 - c0, T), np.inf, np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for a3 in range(3):
+                    inv = 1.0 / d[a3]
+                    ta = (lo32[a3][None, :] - o[a3][:, None]) * inv[:, None]
+                    tb = (hi32[a3][None, :] - o[a3][:, None]) * inv[:, None]
+                    tmin = np.maximum(tmin, np.fmin(ta, tb))
+                    tmax = np.minimum(tmax, np.fmax(ta, tb))
+            need[c0:c1] = (
+                (tmin <= np.minimum(tmax, tfin[c0:c1, None]))
+                & (tmax >= 0.0)
+                & alive[c0:c1, None]
+            )
+            tentry[c0:c1] = np.where(need[c0:c1], tmin, np.inf)
+
+        # Direction Morton bits (3 bits/axis like the production key tail).
+        d = od[3:6]
+        db = ((d + 1.0) * 3.9999).astype(np.int64)  # 0..7 per axis
+        dmort = np.zeros(R, np.int64)
+        for b in range(3):
+            for a3 in range(3):
+                dmort |= ((db[a3] >> b) & 1) << (3 * b + a3)
+
+        near = np.where(
+            need.any(axis=1), np.argmin(tentry, axis=1), T
+        ).astype(np.int64)
+        first8 = np.full((R, 8), T, np.int64)
+        # first 8 needed tile ids per ray (vectorized top-8 by entry t)
+        order8 = np.argsort(tentry, axis=1)[:, :8]
+        got = np.take_along_axis(tentry, order8, axis=1) < np.inf
+        first8 = np.where(got, order8, T)
+
+        keys = {
+            "asis": np.arange(R, dtype=np.int64),
+            "prevtile": (
+                (np.where(ptile < 0, T, ptile).astype(np.int64) << 32)
+                | (dmort << 16)
+            ),
+            "neartile": (near << 32) | (dmort << 16),
+            "needset": None,  # lexsort below
+        }
+        dead_last = (~alive).astype(np.int64) << 62
+        print(f"bounce {bounce}: alive {n_alive}/{R}")
+        for kname, key in keys.items():
+            if kname == "needset":
+                perm = np.lexsort(
+                    tuple(first8[:, k] for k in range(7, -1, -1))
+                    + (dead_last,)
+                )
+            else:
+                perm = np.argsort(key + dead_last, kind="stable")
+            nd = need[perm]
+            row = f"    {kname:9s}:"
+            for L in grans:
+                nb = R // L
+                u = nd[: nb * L].reshape(nb, L, T).any(axis=1)
+                row += f"  L={L} union {u.sum() / nb:7.2f}"
+            print(row)
+
+
 def main() -> int:
     side = None
     R = 1 << 18
@@ -348,6 +477,9 @@ def main() -> int:
         return 0
     if "--sim64" in sys.argv:
         simulate_leaf(sys.argv[sys.argv.index("--sim64") + 1], side, leaf)
+        return 0
+    if "--simbin" in sys.argv:
+        simulate_bin(sys.argv[sys.argv.index("--simbin") + 1])
         return 0
     if "--sim" in sys.argv:
         simulate(sys.argv[sys.argv.index("--sim") + 1])

@@ -55,8 +55,25 @@ def main():
         sort_rays = True
     if "--nosort" in sys.argv:
         sort_rays = False
+    # Echo the EFFECTIVE nsb (after the kernel's lane-alignment check —
+    # mxu_intersect._trace_body_resident falls back to whole-block when
+    # LANE_BLOCK % (nsb*128) != 0) so saved logs from different
+    # SUBBEAM_TRAVERSE runs are distinguishable (ADVICE r3).
+    import zig_raytracing_contest_tpu.ops.mxu_intersect as mi
+    nsb_req = mi.SUBBEAM_TRAVERSE
+    tri_n = scene.mxu.tri_data.shape[1]
+    lb = (  # same selection as mxu_intersect.trace_emit_aux
+        mi.LANE_BLOCK_RESIDENT
+        if tri_n <= mi.VMEM_RESIDENT_MAX_TRIS
+        and tri_n <= mi.VMEM_WIDE_BLOCK_MAX_TRIS
+        and R % mi.LANE_BLOCK_RESIDENT == 0
+        else mi.LANE_BLOCK
+    )
+    nsb_eff = nsb_req if (nsb_req > 1 and lb % (nsb_req * 128) == 0) else 1
     print(f"scene={'large' if large else 'bench'} tiles={tiles} groups={groups} "
-          f"R={R} sort={sort_rays}")
+          f"R={R} sort={sort_rays} nsb={nsb_eff}"
+          + (f" (requested {nsb_req}, not lane-aligned)"
+             if nsb_eff != nsb_req else ""))
 
     local = jnp.arange(R, dtype=jnp.int32)
     streams = rng.ray_streams(jnp.uint32(0), local)

@@ -169,7 +169,7 @@ class GlbWriter:
         self.materials.append(mat)
         return len(self.materials) - 1
 
-    def add_camera(self, yfov, aspect, znear=0.01):
+    def add_camera(self, yfov, aspect, znear=0.01, name="DuckCam"):
         self.cameras.append(
             {
                 "type": "perspective",
@@ -178,7 +178,7 @@ class GlbWriter:
                     "aspectRatio": float(aspect),
                     "znear": float(znear),
                 },
-                "name": "DuckCam",
+                "name": name,
             }
         )
         return len(self.cameras) - 1

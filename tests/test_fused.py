@@ -26,6 +26,8 @@ from zig_raytracing_contest_tpu.scene.gltf import load_gltf
 from zig_raytracing_contest_tpu.scene.materials import load_materials
 from zig_raytracing_contest_tpu.scene.types import build_device_scene
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas kernel equality (minutes)
+
 R = 1024
 
 

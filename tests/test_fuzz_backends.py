@@ -24,6 +24,8 @@ from zig_raytracing_contest_tpu.scene.gltf import load_gltf
 from zig_raytracing_contest_tpu.scene.materials import load_materials
 from zig_raytracing_contest_tpu.scene.types import build_device_scene
 
+pytestmark = pytest.mark.slow  # 4-seed MXU-vs-grid-vs-C++ property fuzz (interpret mode)
+
 
 def _random_scene(tmp_path, seed):
     rng = np.random.default_rng(seed)

@@ -134,6 +134,7 @@ def test_previous_hit_exclusion(box, box_mxu):
         assert (t2[hit2] > 1e-3).all()
 
 
+@pytest.mark.slow
 def test_mxu_render_close_to_grid_render(box, box_mxu):
     _, _, cam, _, _, scene_grid = box
     _, scene_mxu = box_mxu
@@ -348,6 +349,7 @@ def test_wave_pixel_coords_exact_at_8k_bases():
         )
 
 
+@pytest.mark.slow
 def test_above_2p23_pixel_render_smoke(box, box_mxu):
     """Images above 2^23 pixels render (the r1 build hard-errored here).
     4097×2048 = 8,390,656 pixels > 2^23; 1 spp, 1 bounce keeps it cheap."""

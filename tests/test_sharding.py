@@ -81,6 +81,7 @@ def test_cli_devices_flag(box, tmp_path):
     assert Image.open(out).size == (16, 16)
 
 
+@pytest.mark.slow
 def test_fused_pipeline_under_shard_map(box):
     """The production combination — fused Pallas kernels inside shard_map —
     runs (interpret mode on CPU) and is bit-identical to the single-device
@@ -111,6 +112,7 @@ def test_uneven_pixel_tiles(box):
     np.testing.assert_array_equal(single, sharded)
 
 
+@pytest.mark.slow
 def test_extensions_under_shard_map(box):
     """NEE + RR inside shard_map: bit-identical to the single-device
     extension render (per-ray counter RNG, same light table)."""

@@ -8,6 +8,7 @@ in trace_emit_aux — its callers mask by the alive row).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +19,8 @@ from zig_raytracing_contest_tpu.ops.mxu_intersect import (
     nearest_hit_xla,
     trace_emit_aux,
 )
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas kernel equality (minutes)
 
 
 def _random_bank(seed, T=4000, tile=128):
