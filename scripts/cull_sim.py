@@ -423,12 +423,55 @@ def simulate_bin(npz_path: str) -> None:
             for a3 in range(3):
                 dmort |= ((db[a3] >> b) & 1) << (3 * b + a3)
 
+        # Implementable corridor key: quantized origin + quantized point
+        # where the ray EXITS the scene bbox (ONE slab test per ray — no
+        # tile knowledge, no trace result).  Proxy for nearfar: rays
+        # sharing both corridor endpoints share ~their whole tile list.
+        slo = lo32.min(axis=1)
+        shi = hi32.max(axis=1)
+        span = np.maximum(shi - slo, 1e-30)
+        o = od[0:3]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / d
+            ta = (slo[:, None] - o) * inv
+            tb = (shi[:, None] - o) * inv
+            texit = np.minimum(
+                np.minimum(np.fmax(ta[0], tb[0]), np.fmax(ta[1], tb[1])),
+                np.fmax(ta[2], tb[2]),
+            )
+        ex = o + d * np.maximum(texit, 0.0)[None, :]
+        B = 5
+
+        def mort3(p, bits):
+            q = np.clip(
+                ((p - slo[:, None]) / span[:, None]) * (1 << bits),
+                0, (1 << bits) - 1,
+            ).astype(np.int64)
+            m = np.zeros(p.shape[1], np.int64)
+            for b in range(bits):
+                for a3 in range(3):
+                    m |= ((q[a3] >> b) & 1) << (3 * b + a3)
+            return m
+
+        omort = mort3(o, B)
+        emort = mort3(ex, B)
+        # interleave origin/exit Morton groups 3 bits at a time so blocks
+        # are compact in BOTH endpoints at every scale
+        oemix = np.zeros(R, np.int64)
+        for g in range(B):
+            oemix |= ((omort >> (3 * g)) & 7) << (6 * g + 3)
+            oemix |= ((emort >> (3 * g)) & 7) << (6 * g)
+
         near = np.where(
             need.any(axis=1), np.argmin(tentry, axis=1), T
         ).astype(np.int64)
-        first8 = np.full((R, 8), T, np.int64)
-        # first 8 needed tile ids per ray (vectorized top-8 by entry t)
-        order8 = np.argsort(tentry, axis=1)[:, :8]
+        tentry_neg = np.where(np.isfinite(tentry), tentry, -np.inf)
+        far = np.where(
+            need.any(axis=1), np.argmax(tentry_neg, axis=1), T
+        ).astype(np.int64)
+        # first min(8, T) needed tile ids per ray (top-k by entry t)
+        k8 = min(8, T)
+        order8 = np.argsort(tentry, axis=1)[:, :k8]
         got = np.take_along_axis(tentry, order8, axis=1) < np.inf
         first8 = np.where(got, order8, T)
 
@@ -439,6 +482,18 @@ def simulate_bin(npz_path: str) -> None:
                 | (dmort << 16)
             ),
             "neartile": (near << 32) | (dmort << 16),
+            # corridor extent: rays sharing BOTH the nearest and farthest
+            # needed tile share ~their whole tile list (oracle variant —
+            # 'far' needs the trace, but prev-bounce far is conceivable)
+            "nearfar": (near << 32) | (far << 16) | dmort,
+            # direction-major: opposite extreme of the 6-D interleave
+            "dirmajor": (
+                (dmort << 48)
+                | (np.where(ptile < 0, T, ptile).astype(np.int64) << 16)
+            ),
+            # implementable corridor keys (one scene-bbox slab test/ray)
+            "exitpt": (omort << 18) | (emort << 3),
+            "oemix": oemix,
             "needset": None,  # lexsort below
         }
         dead_last = (~alive).astype(np.int64) << 62
@@ -446,7 +501,7 @@ def simulate_bin(npz_path: str) -> None:
         for kname, key in keys.items():
             if kname == "needset":
                 perm = np.lexsort(
-                    tuple(first8[:, k] for k in range(7, -1, -1))
+                    tuple(first8[:, k] for k in range(k8 - 1, -1, -1))
                     + (dead_last,)
                 )
             else:
