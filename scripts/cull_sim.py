@@ -454,13 +454,22 @@ def simulate_bin(npz_path: str) -> None:
             return m
 
         omort = mort3(o, B)
+
+        def mix_with_exit(tcap):
+            exc = o + d * np.minimum(np.maximum(texit, 0.0), tcap)[None, :]
+            em = mort3(exc, B)
+            m = np.zeros(R, np.int64)
+            # interleave origin/exit Morton groups 3 bits at a time so
+            # blocks are compact in BOTH endpoints at every scale
+            for g in range(B):
+                m |= ((omort >> (3 * g)) & 7) << (6 * g + 3)
+                m |= ((em >> (3 * g)) & 7) << (6 * g)
+            return m
+
+        diag = float(np.sqrt((span**2).sum()))
+        ex = o + d * np.maximum(texit, 0.0)[None, :]
         emort = mort3(ex, B)
-        # interleave origin/exit Morton groups 3 bits at a time so blocks
-        # are compact in BOTH endpoints at every scale
-        oemix = np.zeros(R, np.int64)
-        for g in range(B):
-            oemix |= ((omort >> (3 * g)) & 7) << (6 * g + 3)
-            oemix |= ((emort >> (3 * g)) & 7) << (6 * g)
+        oemix = mix_with_exit(np.inf)
 
         near = np.where(
             need.any(axis=1), np.argmin(tentry, axis=1), T
@@ -494,6 +503,11 @@ def simulate_bin(npz_path: str) -> None:
             # implementable corridor keys (one scene-bbox slab test/ray)
             "exitpt": (omort << 18) | (emort << 3),
             "oemix": oemix,
+            # occlusion proxy: clamp the corridor endpoint at a fixed
+            # fraction of the scene diagonal (static bake constant)
+            "oemix1/8": mix_with_exit(diag / 8),
+            "oemix1/4": mix_with_exit(diag / 4),
+            "oemix1/2": mix_with_exit(diag / 2),
             "needset": None,  # lexsort below
         }
         dead_last = (~alive).astype(np.int64) << 62

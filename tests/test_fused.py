@@ -735,3 +735,59 @@ def test_trace_shared_origin_matches_per_lane(scene_and_rays, monkeypatch):
                                       np.asarray(aux_b[:5]))
         np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
         np.testing.assert_array_equal(np.asarray(rec_a), np.asarray(rec_b))
+
+
+def test_emit_sort_key_matches_host_key(scene_and_rays):
+    """The in-kernel beam-sort key (_emit_sort_key, consumed by the
+    whole-path pipeline's post-bounce-0 argsort) must be bit-identical to
+    the host key wavefront._ray_sort_key for every lane — both in the
+    corridor (SORT_KEY_EXIT) and legacy direction variants."""
+    from functools import partial
+
+    import jax.experimental.pallas as pl
+
+    import zig_raytracing_contest_tpu.render.wavefront as wf
+    from zig_raytracing_contest_tpu.render import fused
+    from zig_raytracing_contest_tpu.render.wavefront import build_gen_par
+
+    scene, orig, dirs = scene_and_rays
+    Rk = 256
+    state = np.zeros((16, Rk), np.float32)
+    state[0:3] = np.asarray(orig)[:Rk].T
+    state[3:6] = np.asarray(dirs)[:Rk].T
+    state[12] = 1.0
+    state[12, 5:9] = 0.0  # a few dead lanes
+    par = build_gen_par(
+        scene,
+        jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+    )
+
+    def kernel(state_ref, par_ref, out_ref):
+        out_ref[:, :] = state_ref[:, :]
+        fused._emit_sort_key(out_ref, par_ref)
+
+    for variant in (True, False):
+        old = wf.SORT_KEY_EXIT
+        try:
+            wf.SORT_KEY_EXIT = variant
+            # the flag binds at trace time; drop the cached trace of the
+            # previous variant (same shapes -> same cache key otherwise)
+            jax.clear_caches()
+            run = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((16, Rk), jnp.float32),
+                interpret=True,
+            )
+            out = run(jnp.asarray(state), par)
+            got = np.asarray(
+                jax.lax.bitcast_convert_type(out[15], jnp.int32)
+            )
+            want = np.asarray(wf._ray_sort_key(scene, jnp.asarray(state)))
+            # The host key divides by raw d (inf-based slab); the kernel
+            # clamps |d| >= 1e-12 — identical for all practical
+            # directions, so require exact equality here (fixture rays
+            # have no zero components).
+            np.testing.assert_array_equal(got, want, err_msg=f"{variant=}")
+        finally:
+            wf.SORT_KEY_EXIT = old

@@ -362,3 +362,39 @@ def test_above_2p23_pixel_render_smoke(box, box_mxu):
     assert stats.segments == w * h  # every primary ray traced once
     # Content sanity: the image is not a constant field.
     assert img.std() > 0
+
+
+def test_corridor_sort_key_properties(box):
+    """The wave sort key (corridor variant, SORT_KEY_EXIT): live keys stay
+    below the dead bit, dead lanes take the top bit, rays sharing origin
+    AND scene-exit endpoint share a key, and the zero-direction-component
+    slab edge case (0 * inf) produces a finite key, not NaN propagation."""
+    import numpy as np
+
+    from zig_raytracing_contest_tpu.render import wavefront as wf
+
+    scene = box[5]
+    R = 8
+    state = np.zeros((16, R), np.float32)
+    bmin = np.asarray(scene.grid.bbox_min)
+    bmax = np.asarray(scene.grid.bbox_max)
+    state[0:3] = ((bmin + bmax) / 2)[:, None]
+    dirs = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0],
+         [0.577, 0.577, 0.577], [0.577, 0.577, 0.577], [0, -1, 0],
+         [0, 0, -1]], np.float32,
+    ).T
+    state[3:6] = dirs
+    state[12] = 1.0
+    key = np.asarray(wf._ray_sort_key(scene, jnp.asarray(state)))
+    assert np.all(key[:] < (1 << 30))  # alive below the dead bit
+    assert key[4] == key[5]  # identical corridor -> identical key
+    state[12, 3] = 0.0  # kill one lane
+    key2 = np.asarray(wf._ray_sort_key(scene, jnp.asarray(state)))
+    assert key2[3] >> 30 == 1
+    assert np.all(key2[[0, 1, 2, 4, 5, 6, 7]] == key[[0, 1, 2, 4, 5, 6, 7]])
+    # origin on a bbox face with a zero direction component along it
+    state[0, 0] = bmin[0]
+    state[3:6, 0] = [0.0, 1.0, 0.0]
+    key3 = np.asarray(wf._ray_sort_key(scene, jnp.asarray(state)))
+    assert 0 <= key3[0] < (1 << 30)

@@ -914,20 +914,52 @@ def _mix_u32(x):
 def _emit_sort_key(out_ref, par_ref):
     """Write the (dead, 6-D interleaved Morton) beam-sort key into state
     row 15 as a bitcast int32 — the in-kernel twin of
-    wavefront._ray_sort_key (same bit layout; see its docstring for the
-    measured rationale)."""
+    wavefront._ray_sort_key (same bit layout AND same corridor variant,
+    gated by wavefront.SORT_KEY_EXIT; see its docstring for the measured
+    rationale — the corridor key A/B'd +17% on the 100k bench)."""
+    from .wavefront import SORT_KEY_EXIT  # late: wavefront imports fused
+
     dead = (out_ref[12, :] <= 0.0).astype(jnp.int32)
     key = jnp.zeros(out_ref.shape[1:], jnp.int32)
     q = []
     dq = []
-    for a in range(3):
-        rel = (out_ref[a, :] - par_ref[PAR_BMIN + a]) * par_ref[PAR_SCALE + a]
-        q.append(jnp.clip(rel, 0.0, 31.0).astype(jnp.int32))
-        dq.append(
-            jnp.clip((out_ref[3 + a, :] + 1.0) * 16.0, 0.0, 31.0).astype(
-                jnp.int32
+    if SORT_KEY_EXIT:
+        # Scene-exit corridor endpoint: one slab test per lane.  Division
+        # is NaN-proofed by clamping |d| away from 0 (sign-preserving) —
+        # a heuristic key needs no exact grazing-ray semantics, unlike
+        # the cull slab test.  bmax = bmin + span, span = 32 / scale.
+        far = None
+        o3, d3 = [], []
+        for a in range(3):
+            o3.append(out_ref[a, :])
+            d = out_ref[3 + a, :]
+            d = jnp.where(d >= 0.0, jnp.maximum(d, 1e-12),
+                          jnp.minimum(d, -1e-12))
+            d3.append(d)
+            bmin = par_ref[PAR_BMIN + a]
+            span = 32.0 / par_ref[PAR_SCALE + a]
+            inv = 1.0 / d
+            ta = (bmin - o3[a]) * inv
+            tb = (bmin + span - o3[a]) * inv
+            fa = jnp.maximum(ta, tb)
+            far = fa if far is None else jnp.minimum(far, fa)
+        texit = jnp.maximum(far, 0.0)
+        for a in range(3):
+            rel = (o3[a] - par_ref[PAR_BMIN + a]) * par_ref[PAR_SCALE + a]
+            q.append(jnp.clip(rel, 0.0, 31.0).astype(jnp.int32))
+            ex = rel + d3[a] * texit * par_ref[PAR_SCALE + a]
+            dq.append(jnp.clip(ex, 0.0, 31.0).astype(jnp.int32))
+    else:
+        for a in range(3):
+            rel = (
+                out_ref[a, :] - par_ref[PAR_BMIN + a]
+            ) * par_ref[PAR_SCALE + a]
+            q.append(jnp.clip(rel, 0.0, 31.0).astype(jnp.int32))
+            dq.append(
+                jnp.clip((out_ref[3 + a, :] + 1.0) * 16.0, 0.0, 31.0).astype(
+                    jnp.int32
+                )
             )
-        )
     for b in range(5):
         for a in range(3):
             key = key | (((q[a] >> b) & 1) << (6 * b + 2 * a))

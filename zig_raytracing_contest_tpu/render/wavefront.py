@@ -61,26 +61,54 @@ SORT_AFTER_BOUNCE0 = True
 STREAM_REC_IN_KERNEL = True
 
 
+# Corridor sort key (round 4): replace the key's direction bits with the
+# Morton code of the point where the ray EXITS the scene bbox (one slab
+# test per lane).  Two rays share a cull corridor iff they agree on BOTH
+# endpoints; direction alone conflates short and long corridors.  The
+# lane-level union simulator on real 100k bounce waves (cull_sim.py
+# --simbin, chip dump 2026-08-19) measured per-512-lane-block unions of
+# 75.0/102.6/95.9 tiles (bounces 1-3) under the origin×direction key vs
+# 57.3/71.5/67.3 under origin×exit — a 0.70-0.76× cut, within ~1.3× of
+# the nearest+farthest-needed-tile oracle.  Unlike the sub-beam split
+# (measured worse, docs/ROUND4.md), a union cut at FIXED granularity
+# reduces sweep invocations, not their width — no fixed-cost
+# duplication.  False = the round-3 origin×direction code.
+SORT_KEY_EXIT = True
+
+
 def _ray_sort_key(scene: DeviceScene, state):
-    """int32 sort key per lane: (dead, 6-D Morton of origin × direction).
+    """int32 sort key per lane: (dead, 6-D Morton of origin × corridor).
 
     Dead rays get the largest keys (they compact to the tail, forming
     all-dead lane blocks the trace/shade kernels skip).  Live rays sort by
     a SIX-dimensional Morton code — 5 bits per origin axis and 5 bits per
-    direction axis, INTERLEAVED — so a lane block is compact in position
-    AND direction simultaneously: a narrow beam.  The earlier position-
-    major key (morton then dir) made each 512-lane block exactly one
-    origin cell spanning every direction — an omnidirectional shell whose
-    per-block culls rejected little; switching to the interleaved code
-    measured 2.11 → 2.86 Mrays/s on the 100k-triangle bench (4+4 bits:
-    2.75).  (Finer position-ONLY bits fragment blocks and measured worse
-    both before and after the switch.)
+    second-endpoint axis, INTERLEAVED — so a lane block is compact at both
+    corridor ends simultaneously: a narrow beam.  The second endpoint is
+    the scene-bbox exit point (SORT_KEY_EXIT) or the direction octant
+    (legacy).  History: the position-major key (morton then dir) made each
+    512-lane block one origin cell spanning every direction — an
+    omnidirectional shell whose per-block culls rejected little; the
+    interleaved code measured 2.11 → 2.86 Mrays/s on the 100k bench
+    (4+4 bits: 2.75); finer position-ONLY bits fragment blocks and
+    measured worse both before and after the switch.
     """
     dead = (state[12] <= 0.0).astype(jnp.int32)
-    span = jnp.maximum(scene.grid.bbox_max - scene.grid.bbox_min, 1e-30)
-    rel = (state[0:3] - scene.grid.bbox_min[:, None]) / span[:, None]
+    bmin = scene.grid.bbox_min
+    span = jnp.maximum(scene.grid.bbox_max - bmin, 1e-30)
+    rel = (state[0:3] - bmin[:, None]) / span[:, None]
     q = jnp.clip(rel * 32.0, 0.0, 31.0).astype(jnp.int32)  # (3, R) 5b/axis
-    dq = jnp.clip((state[3:6] + 1.0) * 16.0, 0.0, 31.0).astype(jnp.int32)
+    if SORT_KEY_EXIT:
+        o, d = state[0:3], state[3:6]
+        inv = 1.0 / d  # ±inf on zero components; fmax/fmin eat the NaNs
+        ta = (bmin[:, None] - o) * inv
+        tb = (scene.grid.bbox_max[:, None] - o) * inv
+        far = jnp.fmax(ta, tb)
+        texit = jnp.maximum(jnp.minimum(jnp.minimum(far[0], far[1]), far[2]),
+                            0.0)
+        ex = (o + d * texit[None, :] - bmin[:, None]) / span[:, None]
+        dq = jnp.clip(ex * 32.0, 0.0, 31.0).astype(jnp.int32)
+    else:
+        dq = jnp.clip((state[3:6] + 1.0) * 16.0, 0.0, 31.0).astype(jnp.int32)
     key = jnp.zeros_like(dead)
     for b in range(5):
         for a in range(3):
