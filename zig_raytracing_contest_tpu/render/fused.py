@@ -788,8 +788,9 @@ def _make_path_kernel(max_bounce: int, emissive_dummy: bool, tile: int,
 # INSIDE the path kernel from ~30 SMEM scalars removes the first two
 # entirely: the wave's primary state never exists in HBM before bounce 0,
 # and the (dead, 6-D Morton) sort key is emitted into state row 15 by the
-# same kernel, so the only XLA left in a wave is argsort + two takes + the
-# field-major accumulate.
+# same kernel, so the only XLA left in a wave is one payload sort + one
+# payload unsort (wavefront._sort_state_payload) + the field-major
+# accumulate.
 #
 # Layout: par (32,) f32 SMEM = [origin, lower_left, right, up, bbox_min,
 # 32/span, pad...]; meta (8,) i32 SMEM = [slot_base, x_base, y_base, seed,

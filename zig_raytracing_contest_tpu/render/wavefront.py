@@ -117,16 +117,45 @@ def _ray_sort_key(scene: DeviceScene, state):
     return (dead << 30) | key
 
 
-def _invert_perm(perm):
-    """Inverse of a permutation by scatter: inv[perm[i]] = i.
+def _sort_state_payload(key, state, extra=()):
+    """Sort ray-state columns by ``key``, ties broken by original lane
+    index — the EXACT order of the stable ``jnp.argsort(key)`` it
+    replaces — carrying the state rows as ``lax.sort`` PAYLOAD operands
+    instead of gathering by the permutation afterwards.
 
-    Replaces ``jnp.argsort(perm)`` — a second full O(R log²R) bitonic
-    sort per wave — with one O(R) scatter.  Bit-identical output for any
-    permutation (every target index is written exactly once)."""
-    r = perm.shape[0]
-    return jnp.zeros((r,), perm.dtype).at[perm].set(
-        jnp.arange(r, dtype=perm.dtype)
+    Payload movement rides the sort network's sequential compare-exchange
+    passes; an axis-1 gather of a field-major (16, R) array runs at
+    ~2.7 GB/s effective on v5e (the TPU has no gather unit).  Measured
+    (scripts/micro_sort.py, chip 2026-08-19, R=2^19): argsort + takes +
+    invert-perm + unsort-take = 16.4 ms/op; the payload form = 3.2 ms/op
+    (5.1×).  The (key, iota) num_keys=2 composite is unique, so the
+    result is deterministic under ``is_stable=False`` and bit-identical
+    to the gather composition.
+
+    Returns (perm, sorted_state, sorted_extras) — ``perm`` is the sorted
+    iota (identical to ``jnp.argsort(key)``), reusable as the unique
+    unsort key for :func:`_unsort_rows`."""
+    r = key.shape[0]
+    n = state.shape[0]
+    iota = jax.lax.iota(jnp.int32, r)
+    ops = jax.lax.sort(
+        (key, iota) + tuple(state[i] for i in range(n)) + tuple(extra),
+        dimension=0, num_keys=2, is_stable=False,
     )
+    return ops[1], jnp.stack(ops[2 : 2 + n]), ops[2 + n :]
+
+
+def _unsort_rows(perm, rows):
+    """Restore wave order for ``rows`` ((k, R), sorted lane order) where
+    ``perm`` holds each lane's original position: one num_keys=1 sort on
+    the unique perm column (the payload twin of take-by-inverse-perm;
+    see _sort_state_payload for the measurements)."""
+    n = rows.shape[0]
+    back = jax.lax.sort(
+        (perm,) + tuple(rows[i] for i in range(n)),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+    return jnp.stack(back[1:])
 
 
 class TraceResult(NamedTuple):
@@ -426,8 +455,8 @@ def render_wave(
             # The path is split at bounce 0: primaries run raster-ordered
             # (already coherent), then ONE (dead, 6-D Morton) sort compacts
             # dead rays into kernel-skipped blocks and tightens live
-            # blocks into beams for the remaining bounces.  On-device
-            # argsort is ~1 ms/million rays — on the official scene 87% of
+            # blocks into beams for the remaining bounces (payload sort:
+            # see _sort_state_payload) — on the official scene 87% of
             # rays die after bounce 0 but stay scattered without this.
             from .fused import path_trace_fused
 
@@ -445,22 +474,20 @@ def render_wave(
                 1, ed, interpret=interpret, emit_idx=EXCLUDE_PREV_HIT,
             )
             state, idx0 = out if EXCLUDE_PREV_HIT else (out, None)
-            perm = jnp.argsort(_ray_sort_key(scene, state))
-            state = jnp.take(state, perm, axis=1)
-            prev = (
-                jnp.take(idx0[0], perm) if EXCLUDE_PREV_HIT else None
+            perm, state, extras = _sort_state_payload(
+                _ray_sort_key(scene, state), state,
+                (idx0[0],) if EXCLUDE_PREV_HIT else (),
             )
             state = path_trace_fused(
                 scene.mxu, state, scene.shade_table_t, bank,
                 max_bounce - 1, ed, interpret=interpret, bounce0=1,
-                prev=prev,
+                prev=extras[0] if EXCLUDE_PREV_HIT else None,
             )
-            inv = _invert_perm(perm)
-            return (
-                pixel,
-                jnp.take(state[9:12], inv, axis=1).T,
-                jnp.take(state[14], inv).astype(jnp.int32),
+            rows4 = _unsort_rows(
+                perm,
+                jnp.concatenate([state[9:12], state[14:15]], axis=0),
             )
+            return pixel, rows4[0:3].T, rows4[3].astype(jnp.int32)
 
         # Bounce-ray reordering: bounce rays scatter in direction and origin,
         # which defeats the trace kernel's per-block tile culls.  For scenes
@@ -469,9 +496,9 @@ def render_wave(
         # coarse Morton cell of the origin): dead rays pack into all-dead
         # lane blocks the kernels skip outright (compaction), and live
         # blocks become spatially coherent so group/tile culls bite.  The
-        # sort costs one argsort + a (16, R) axis-1 gather per bounce —
-        # profitable only when a bounce's trace costs much more (gated by
-        # sort_rays; see SORT_MIN_TRIS).
+        # sort costs one 18-operand payload sort per bounce (see
+        # _sort_state_payload) — profitable only when a bounce's trace
+        # costs much more (gated by sort_rays; see SORT_MIN_TRIS).
         order = local  # running map: lane -> original wave position
         from ..ops.mxu_intersect import EXCLUDE_PREV_HIT
 
@@ -483,11 +510,11 @@ def render_wave(
             # vs 1.16 Mrays/s end-to-end on the 100k scene.
             if sort_rays:
                 key = _ray_sort_key(scene, state)
-                perm = jnp.argsort(key)
-                state = jnp.take(state, perm, axis=1)
-                order = jnp.take(order, perm)
+                extra = (order,) + ((prev_m,) if prev_m is not None else ())
+                _, state, extras = _sort_state_payload(key, state, extra)
+                order = extras[0]
                 if prev_m is not None:
-                    prev_m = jnp.take(prev_m, perm)
+                    prev_m = extras[1]
             # Every MXU regime now emits the winner's shade record and
             # exact u/v from inside the trace kernel (one-hot MXU dot per
             # winner tile; HBM table/bank slices DMA'd on demand), so
@@ -520,12 +547,13 @@ def render_wave(
                 interpret=interpret, block_skip=sort_rays, rec=rec,
             )
         if sort_rays:
-            inv = _invert_perm(order)
-            return (
-                pixel,
-                jnp.take(state[9:12], inv, axis=1).T,
-                jnp.take(state[14], inv).astype(jnp.int32),
+            # ``order`` maps sorted lane -> original wave position and is a
+            # permutation of [0, R): it IS the unique unsort key.
+            rows4 = _unsort_rows(
+                order,
+                jnp.concatenate([state[9:12], state[14:15]], axis=0),
             )
+            return pixel, rows4[0:3].T, rows4[3].astype(jnp.int32)
         return pixel, state[9:12].T, state[14].astype(jnp.int32)
 
     # XLA shading path: AoS (R, 3) ray buffers (measured best off-TPU).
@@ -665,8 +693,9 @@ def render_wave_rows(
     reshape (3, wp, spp) → sum → one dynamic_update_slice.
 
     Whole-path regime: ray gen happens inside the Pallas kernel
-    (fused.path_trace_gen) — the wave's XLA footprint is argsort + two
-    takes.  Other regimes delegate to render_wave and transpose."""
+    (fused.path_trace_gen) — the wave's XLA footprint is one payload
+    sort + one payload unsort (see _sort_state_payload).  Other regimes
+    delegate to render_wave and transpose."""
     R = wave_size
     ext_any = ext is not None and ext.any
     if use_fused is None:
@@ -710,18 +739,17 @@ def render_wave_rows(
         state, idx0 = out if emit_idx else (out, None)
         if do_sort:
             key = jax.lax.bitcast_convert_type(state[15], jnp.int32)
-            perm = jnp.argsort(key)
-            state = jnp.take(state, perm, axis=1)
-            prev = jnp.take(idx0[0], perm) if emit_idx else None
+            perm, state, extras = _sort_state_payload(
+                key, state, (idx0[0],) if emit_idx else ()
+            )
             state = path_trace_fused(
                 scene.mxu, state, scene.shade_table_t, bank,
                 max_bounce - 1, ed, interpret=interpret, bounce0=1,
-                prev=prev,
+                prev=extras[0] if emit_idx else None,
             )
-            inv = _invert_perm(perm)
-            rows4 = jnp.take(
+            rows4 = _unsort_rows(
+                perm,
                 jnp.concatenate([state[9:12], state[14:15]], axis=0),
-                inv, axis=1,
             )
         else:
             rows4 = jnp.concatenate([state[9:12], state[14:15]], axis=0)
