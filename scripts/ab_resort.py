@@ -1,0 +1,68 @@
+"""Same-process A/B of mid-path resorts (wavefront.MID_RESORT_BOUNCES) on
+the official bench — the whole-path-kernel workload where the round-4
+frame profile charged bounces 1-3 (path_trace_fused, ~13% of rays live
+after bounce 0) 2.9× the cost of bounce 0 (100% live): rays dying at
+bounce ≥ 1 stay scattered through live blocks, so later sweeps pay for
+dead lanes.  Each resort costs one extra 18-operand payload sort per wave
+(~2-3 ms at 2^19 rays, scripts/micro_sort.py) and buys dead-lane
+compaction + fresh corridor keys for the bounces after it.
+
+Protocol: A/B/.../A — baseline (), each candidate, baseline again —
+median-of-3 in-process reps per variant, one process, one chip session.
+
+Run on the TPU chip: python scripts/ab_resort.py [--variants=1;2;1,2]
+"""
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+import zig_raytracing_contest_tpu.render.wavefront as wf
+from bench import build_bench_scene
+from zig_raytracing_contest_tpu.config import Config
+from zig_raytracing_contest_tpu.render.pipeline import prepare_scene, render_scene
+
+
+def main():
+    variants = [(1,), (1, 2), (2,)]
+    for a in sys.argv[1:]:
+        if a.startswith("--variants="):
+            variants = [
+                tuple(int(x) for x in grp.split(",") if x)
+                for grp in a.split("=")[1].split(";")
+            ]
+
+    cfg = Config(grid_resolution=(128, 128, 128), num_samples=3,
+                 max_bounce=4, wave_size=1 << 19)
+    with tempfile.TemporaryDirectory() as d:
+        p = build_bench_scene(Path(d) / "s.gltf")
+        scene, cam, _ = prepare_scene(str(p), cfg, camera_name="Camera 1",
+                                      width=1920, height=1080)
+
+    def measure():
+        render_scene(scene, cam, cfg)  # warm/compile
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, stats = render_scene(scene, cam, cfg)
+            rates.append(stats.segments / (time.perf_counter() - t0) / 1e6)
+        rates.sort()
+        return rates[1], rates[-1]
+
+    base = wf.MID_RESORT_BOUNCES
+    for flag in [base] + variants + [base]:
+        wf.MID_RESORT_BOUNCES = flag
+        jax.clear_caches()
+        med, best = measure()
+        print(f"official mid_resort={flag}: median {med:.3f}  "
+              f"best {best:.3f} Mrays/s", flush=True)
+    wf.MID_RESORT_BOUNCES = base
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,12 @@ stage() {
   return $rc
 }
 
+# 0. Session calibration probe (VERDICT r4 item 6): a fixed device
+#    workload whose wall-clock reads the chip/tunnel state, so this
+#    session's numbers can be compared to other sessions as calibrated
+#    ratios (utils/calib.py).
+stage calib 600 python scripts/calib_probe.py
+
 # 1. Headline official bench (the driver's number).
 stage official 1800 python bench.py
 

@@ -737,6 +737,96 @@ def test_trace_shared_origin_matches_per_lane(scene_and_rays, monkeypatch):
         np.testing.assert_array_equal(np.asarray(rec_a), np.asarray(rec_b))
 
 
+def test_mid_resort_matches_composition(scene_and_rays, monkeypatch):
+    """_finish_path_sorted with a mid-path resort (MID_RESORT_BOUNCES) must
+    produce the same radiance/segments as the straight per-bounce
+    composition: the resort permutes lanes between kernel calls and
+    restores wave order at the end — per-lane math is lane-order
+    independent (block culls are conservative), so only program-boundary
+    FMA contraction may drift value rows by ULPs."""
+    import zig_raytracing_contest_tpu.render.wavefront as wf
+    from zig_raytracing_contest_tpu.ops.mxu_intersect import EXCLUDE_PREV_HIT
+    from zig_raytracing_contest_tpu.render.fused import path_trace_fused
+    from zig_raytracing_contest_tpu.render.wavefront import (
+        _finish_path_sorted,
+    )
+
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(7), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    max_bounce = 3
+    # --- reference: unsorted per-bounce composition over all 3 bounces
+    st = state
+    prev = None
+    for bounce in range(max_bounce):
+        aux, tri_m, rec = trace_emit_aux(
+            scene.mxu, st, rec_table=scene.shade_table_t, interpret=True,
+            prev=prev if EXCLUDE_PREV_HIT else None,
+        )
+        prev = tri_m
+        st = shade_fused(scene, st, aux, tri_m, bounce, interpret=True,
+                         rec=rec)
+
+    # --- production shape: bounce-0 kernel + resorts after bounces 0 AND 1
+    out = path_trace_fused(
+        scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+        1, scene.emissive_all_dummy is not None,
+        interpret=True, lane_block=512, emit_idx=EXCLUDE_PREV_HIT,
+    )
+    state1, idx0 = out if EXCLUDE_PREV_HIT else (out, None)
+    monkeypatch.setattr(wf, "MID_RESORT_BOUNCES", (1,))
+    jax.clear_caches()
+    try:
+        rows4 = _finish_path_sorted(
+            scene, scene.color_u16f_t, state1, idx0, max_bounce,
+            scene.emissive_all_dummy is not None, interpret=True,
+        )
+    finally:
+        jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(rows4[0:3]), np.asarray(st[9:12]), rtol=3e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(rows4[3]), np.asarray(st[14]))
+
+
+def test_mid_resort_end_to_end(tmp_path, monkeypatch):
+    """Full fused-pipeline render with mid-path resorts on vs off: the
+    resort only regroups lanes between whole-path kernel calls, so the
+    image must agree up to program-boundary ULP drift (the scene is fully
+    opaque — no stochastic-alpha decorrelation) and the traced segment
+    count must be identical (a closed box: alive transitions are
+    hit-robust)."""
+    import zig_raytracing_contest_tpu.render.wavefront as wf
+    from zig_raytracing_contest_tpu.config import Config
+    from zig_raytracing_contest_tpu.render.pipeline import (
+        prepare_scene,
+        render_scene,
+    )
+
+    p = procedural.cornell_like_box(tmp_path / "mr.gltf")
+    cfg = Config(
+        grid_resolution=(4, 4, 4), num_samples=2, max_bounce=4, seed=9,
+        wave_size=2048,
+    )
+    scene, cam, _ = prepare_scene(
+        str(p), cfg, camera_name="Camera 1", width=24, height=24
+    )
+    assert wf.MID_RESORT_BOUNCES == ()  # default until chip-A/B'd
+    img_a, st_a = render_scene(scene, cam, cfg, use_fused=True)
+    monkeypatch.setattr(wf, "MID_RESORT_BOUNCES", (1, 2))
+    jax.clear_caches()  # the flag binds at trace time, not a jit key
+    try:
+        img_b, st_b = render_scene(scene, cam, cfg, use_fused=True)
+    finally:
+        jax.clear_caches()
+    diff = np.abs(img_a.astype(int) - img_b.astype(int))
+    assert (diff > 2).mean() < 0.02
+    assert st_a.segments == st_b.segments
+
+
 def test_emit_sort_key_matches_host_key(scene_and_rays):
     """The in-kernel beam-sort key (_emit_sort_key, consumed by the
     whole-path pipeline's post-bounce-0 argsort) must be bit-identical to

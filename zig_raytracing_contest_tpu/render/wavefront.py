@@ -54,6 +54,17 @@ SORT_MIN_TRIS = 1 << 16
 # sort the survivors once (see render_wave).
 SORT_AFTER_BOUNCE0 = True
 
+# Mid-path resorts (round 5): additional absolute bounces after which the
+# whole-path wave re-sorts/compacts (on top of the bounce-0 split).  The
+# round-4 frame profile showed bounces 1-3 costing 2.9× bounce 0 with only
+# ~13% of rays alive: rays dying at bounce ≥ 1 stay scattered through live
+# blocks, so later sweeps pay for dead lanes — the reference pays NOTHING
+# for a terminated path (src/stage3.zig:195-197).  Each entry r (1 ≤ r ≤
+# max_bounce-2) costs one extra payload sort (~2-3 ms per 2^19-ray wave,
+# scripts/micro_sort.py) and buys dead-lane compaction + fresh corridor
+# keys (origins move every bounce) for bounces > r.
+MID_RESORT_BOUNCES: tuple = ()
+
 # When False, HBM-streaming scenes (> VMEM_RESIDENT_MAX_TRIS) skip the
 # in-kernel winner-record/u-v emission and fall back to the XLA record
 # gather + recompute_uv — the pre-in-kernel-emission behavior, kept as a
@@ -156,6 +167,64 @@ def _unsort_rows(perm, rows):
         dimension=0, num_keys=1, is_stable=False,
     )
     return jnp.stack(back[1:])
+
+
+def _finish_path_sorted(scene, bank, state, idx0, max_bounce: int,
+                        ed: bool, interpret: bool, key0=None):
+    """Whole-path continuation after bounce 0: beam-sort/compact the wave,
+    trace the remaining bounces in one or more whole-path kernel calls
+    (resorting again after each bounce in MID_RESORT_BOUNCES), and unsort.
+
+    ``state`` is the (16, R) state after bounce 0; ``idx0`` the bounce-0
+    winner (1, R) int32 (or None when EXCLUDE_PREV_HIT is off); ``key0``
+    the kernel-emitted bounce-0 sort key (bitcast state row 15), computed
+    via the host key when None.  Mid-path keys always come from the host
+    key (_ray_sort_key) — pinned bit-identical to the kernel key by
+    tests/test_fused.py::test_emit_sort_key_matches_host_key.
+
+    Returns rows4 (4, R) in ORIGINAL wave-lane order: radiance rows 9-11
+    + the segment counter row 14."""
+    from .fused import path_trace_fused
+
+    emit_idx = idx0 is not None
+    # Resort boundaries: the path [1, max_bounce) splits after each bounce
+    # r in MID_RESORT_BOUNCES (resorting after the final bounce is dead
+    # weight — nothing traces afterwards).
+    bounds = [1] + sorted(
+        {r + 1 for r in MID_RESORT_BOUNCES if 1 <= r <= max_bounce - 2}
+    ) + [max_bounce]
+    order = None  # running map: current lane -> original wave position
+    idx_cur = idx0[0] if emit_idx else None
+    for i in range(len(bounds) - 1):
+        b_start, b_end = bounds[i], bounds[i + 1]
+        key = (
+            key0
+            if i == 0 and key0 is not None
+            else _ray_sort_key(scene, state)
+        )
+        extra = () if idx_cur is None else (idx_cur,)
+        if order is not None:
+            extra = extra + (order,)
+        perm, state, extras = _sort_state_payload(key, state, extra)
+        ei = 0
+        if idx_cur is not None:
+            idx_cur = extras[0]
+            ei = 1
+        order = perm if order is None else extras[ei]
+        last = i == len(bounds) - 2
+        out = path_trace_fused(
+            scene.mxu, state, scene.shade_table_t, bank,
+            b_end - b_start, ed, interpret=interpret, bounce0=b_start,
+            prev=idx_cur, emit_idx=emit_idx and not last,
+        )
+        if emit_idx and not last:
+            state, idxo = out
+            idx_cur = idxo[0]
+        else:
+            state = out
+    return _unsort_rows(
+        order, jnp.concatenate([state[9:12], state[14:15]], axis=0)
+    )
 
 
 class TraceResult(NamedTuple):
@@ -474,18 +543,8 @@ def render_wave(
                 1, ed, interpret=interpret, emit_idx=EXCLUDE_PREV_HIT,
             )
             state, idx0 = out if EXCLUDE_PREV_HIT else (out, None)
-            perm, state, extras = _sort_state_payload(
-                _ray_sort_key(scene, state), state,
-                (idx0[0],) if EXCLUDE_PREV_HIT else (),
-            )
-            state = path_trace_fused(
-                scene.mxu, state, scene.shade_table_t, bank,
-                max_bounce - 1, ed, interpret=interpret, bounce0=1,
-                prev=extras[0] if EXCLUDE_PREV_HIT else None,
-            )
-            rows4 = _unsort_rows(
-                perm,
-                jnp.concatenate([state[9:12], state[14:15]], axis=0),
+            rows4 = _finish_path_sorted(
+                scene, bank, state, idx0, max_bounce, ed, interpret
             )
             return pixel, rows4[0:3].T, rows4[3].astype(jnp.int32)
 
@@ -704,9 +763,7 @@ def render_wave_rows(
     mask = slot_lane < slot_cap
 
     if whole_path_regime(scene, use_fused, ext):
-        from .fused import (
-            GenParams, path_trace_fused, path_trace_gen, resident_bank,
-        )
+        from .fused import GenParams, path_trace_gen, resident_bank
 
         bank = resident_bank(scene)
 
@@ -739,17 +796,9 @@ def render_wave_rows(
         state, idx0 = out if emit_idx else (out, None)
         if do_sort:
             key = jax.lax.bitcast_convert_type(state[15], jnp.int32)
-            perm, state, extras = _sort_state_payload(
-                key, state, (idx0[0],) if emit_idx else ()
-            )
-            state = path_trace_fused(
-                scene.mxu, state, scene.shade_table_t, bank,
-                max_bounce - 1, ed, interpret=interpret, bounce0=1,
-                prev=extras[0] if emit_idx else None,
-            )
-            rows4 = _unsort_rows(
-                perm,
-                jnp.concatenate([state[9:12], state[14:15]], axis=0),
+            rows4 = _finish_path_sorted(
+                scene, bank, state, idx0, max_bounce, ed, interpret,
+                key0=key,
             )
         else:
             rows4 = jnp.concatenate([state[9:12], state[14:15]], axis=0)
