@@ -45,6 +45,10 @@ stage sweep_500k 1500 python scripts/large_sweep.py --side=500
 stage sweep_2m   2400 python scripts/large_sweep.py --side=1000
 stage sweep_4m   2400 python scripts/large_sweep.py --side=1414
 
+# 2b. Sponza-class interior (VERDICT r4 item 4: the multi-material
+#     streaming regime; target >= 4 Mrays/s proposed).
+stage sweep_sponza 1800 python scripts/large_sweep.py --sponza
+
 # 3. Official --large bench (the BENCH-protocol 100k number).
 stage large 1500 python bench.py --large
 
@@ -58,6 +62,11 @@ stage golden 2400 python scripts/golden_tpu.py
 # 6. Per-stage device timings — feeds the next optimization round.
 stage profile_official 1500 python scripts/profile_stages.py
 stage profile_large 1500 python scripts/profile_stages.py --large
+# 6b. Frame decompositions for the regimes the r4 verdict flagged blind:
+#     Sponza (where does the 1.9x per-ray slowdown go) and 500k streaming.
+stage xprof_sponza 1800 python scripts/xprof_summary.py --sponza
+stage cull_sponza 1800 python scripts/cull_stats.py --sponza
+stage xprof_500k 1800 python scripts/xprof_summary.py --side=500
 
 # 7. Flag A/Bs (gate/defer/shared-origin) — diagnostic, lowest priority.
 stage ab_flags 3000 python scripts/ab_flags.py

@@ -36,7 +36,7 @@ import numpy as np
 
 
 def dump(out_path: str, side: int | None, R: int,
-         interpret: bool = False) -> None:
+         interpret: bool = False, sponza: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -48,17 +48,28 @@ def dump(out_path: str, side: int | None, R: int,
     from zig_raytracing_contest_tpu.render.fused import shade_fused
     from zig_raytracing_contest_tpu.render.pipeline import prepare_scene
 
-    width, height = (1280, 720) if side else (1920, 1080)
+    width, height = (1280, 720) if side or sponza else (1920, 1080)
     cfg = Config(grid_resolution=(128, 128, 128))
     with tempfile.TemporaryDirectory() as d:
-        p = (
-            build_large_scene(Path(d) / "s.gltf", side=side)
-            if side
-            else build_bench_scene(Path(d) / "s.gltf")
-        )
-        scene, cam, _ = prepare_scene(
-            str(p), cfg, camera_name="Camera 1", width=width, height=height
-        )
+        if sponza:
+            sys.path.insert(0, str(Path(__file__).resolve().parent))
+            from sponza_builder import write_sponza_glb
+
+            p = write_sponza_glb(Path(d) / "s.glb", detail=1.25)
+            scene, cam, _ = prepare_scene(str(p), cfg,
+                                          camera_name="Camera 1",
+                                          height=height)
+            width = cam.width
+        else:
+            p = (
+                build_large_scene(Path(d) / "s.gltf", side=side)
+                if side
+                else build_bench_scene(Path(d) / "s.gltf")
+            )
+            scene, cam, _ = prepare_scene(
+                str(p), cfg, camera_name="Camera 1", width=width,
+                height=height
+            )
     sort_rays = scene.mxu.tri_data.shape[1] > wavefront.SORT_MIN_TRIS
 
     # Cover the FULL frame (top rows alone are sky): default R is one
@@ -542,7 +553,8 @@ def main() -> int:
             leaf = int(a.split("=")[1])
     if "--dump" in sys.argv:
         out = sys.argv[sys.argv.index("--dump") + 1]
-        dump(out, side, R, interpret="--interpret" in sys.argv)
+        dump(out, side, R, interpret="--interpret" in sys.argv,
+             sponza="--sponza" in sys.argv)
         return 0
     if "--sim64" in sys.argv:
         simulate_leaf(sys.argv[sys.argv.index("--sim64") + 1], side, leaf)

@@ -35,19 +35,31 @@ def main():
         if a.startswith("--nsb="):
             import zig_raytracing_contest_tpu.ops.mxu_intersect as mi
             mi.SUBBEAM_TRAVERSE = int(a.split("=")[1])
-    large = "--large" in sys.argv or side is not None
-    R = (1 << 18 if side and side > 500 else 1 << 21) if large else 1 << 18
+    sponza = "--sponza" in sys.argv
+    large = "--large" in sys.argv or side is not None or sponza
+    R = (1 << 18 if (side and side > 500) or sponza else 1 << 21) if large else 1 << 18
     width = 640 if side and side > 500 else 1280
     height = 360 if side and side > 500 else 720
     cfg = Config(grid_resolution=(128, 128, 128))
     with tempfile.TemporaryDirectory() as d:
-        if large:
-            p = build_large_scene(Path(d) / "s.gltf", side=side or 224)
+        if sponza:
+            # The measured Sponza row's scene (docs/ROUND4.md item 5).
+            sys.path.insert(0, str(Path(__file__).resolve().parent))
+            from sponza_builder import write_sponza_glb
+
+            p = write_sponza_glb(Path(d) / "s.glb", detail=1.25)
+            scene, cam, _ = prepare_scene(str(p), cfg,
+                                          camera_name="Camera 1", height=720)
         else:
-            p = build_bench_scene(Path(d) / "s.gltf")
-        scene, cam, _ = prepare_scene(
-            str(p), cfg, camera_name="Camera 1", width=width, height=height
-        )
+            if large:
+                p = build_large_scene(Path(d) / "s.gltf", side=side or 224)
+            else:
+                p = build_bench_scene(Path(d) / "s.gltf")
+            scene, cam, _ = prepare_scene(
+                str(p), cfg, camera_name="Camera 1", width=width, height=height
+            )
+    if sponza:
+        width, height = cam.width, cam.height
     tiles = scene.mxu.tile_bbox.shape[1]
     groups = scene.mxu.group_bbox.shape[1]
     sort_rays = scene.mxu.tri_data.shape[1] > wavefront.SORT_MIN_TRIS

@@ -1,5 +1,6 @@
 """Capture a jax.profiler trace of one warm bench frame and summarize
-device-op durations by kernel/fusion name.  Run: python scripts/xprof_summary.py [--large]
+device-op durations by kernel/fusion name.
+Run: python scripts/xprof_summary.py [--large | --sponza | --side=N]
 """
 
 import gzip
@@ -20,18 +21,42 @@ from zig_raytracing_contest_tpu.render.pipeline import prepare_scene, render_sce
 
 def main():
     large = "--large" in sys.argv
-    cfg = Config(
-        grid_resolution=(128, 128, 128),
-        num_samples=2 if large else 3,
-        max_bounce=3 if large else 4,
-        wave_size=1 << 21 if large else 1 << 19,  # match bench.py
-    )
-    with tempfile.TemporaryDirectory() as d:
-        p = (build_large_scene if large else build_bench_scene)(Path(d) / "s.gltf")
-        scene, cam, _ = prepare_scene(
-            str(p), cfg, camera_name="Camera 1",
-            width=1280 if large else 1920, height=720 if large else 1080,
+    sponza = "--sponza" in sys.argv
+    side = None
+    for a in sys.argv[1:]:
+        if a.startswith("--side="):
+            side = int(a.split("=")[1])  # streaming-regime terrain (e.g. 500)
+            large = True
+    if sponza:
+        # The measured Sponza row's protocol (docs/ROUND4.md item 5 /
+        # large_sweep.py --sponza): 720p, 2 spp, 3 bounces, wave 2^18.
+        cfg = Config(grid_resolution=(128, 128, 128), num_samples=2,
+                     max_bounce=3, wave_size=1 << 18)
+        with tempfile.TemporaryDirectory() as d:
+            sys.path.insert(0, str(Path(__file__).resolve().parent))
+            from sponza_builder import write_sponza_glb
+
+            p = write_sponza_glb(Path(d) / "s.glb", detail=1.25)
+            scene, cam, _ = prepare_scene(str(p), cfg,
+                                          camera_name="Camera 1", height=720)
+    else:
+        cfg = Config(
+            grid_resolution=(128, 128, 128),
+            num_samples=2 if large else 3,
+            max_bounce=3 if large else 4,
+            # match bench.py (100k) / large_sweep.py (side>224 streaming)
+            wave_size=(1 << 18 if side else 1 << 21) if large else 1 << 19,
         )
+        with tempfile.TemporaryDirectory() as d:
+            p = (
+                build_large_scene(Path(d) / "s.gltf", side=side or 224)
+                if large
+                else build_bench_scene(Path(d) / "s.gltf")
+            )
+            scene, cam, _ = prepare_scene(
+                str(p), cfg, camera_name="Camera 1",
+                width=1280 if large else 1920, height=720 if large else 1080,
+            )
     render_scene(scene, cam, cfg)  # warm/compile
 
     logdir = tempfile.mkdtemp(prefix="xprof_")

@@ -814,7 +814,9 @@ def test_mid_resort_end_to_end(tmp_path, monkeypatch):
     scene, cam, _ = prepare_scene(
         str(p), cfg, camera_name="Camera 1", width=24, height=24
     )
-    assert wf.MID_RESORT_BOUNCES == ()  # default until chip-A/B'd
+    assert wf.MID_RESORT_BOUNCES == (1,)  # chip-A/B'd default (+17%)
+    monkeypatch.setattr(wf, "MID_RESORT_BOUNCES", ())
+    jax.clear_caches()  # the flag binds at trace time, not a jit key
     img_a, st_a = render_scene(scene, cam, cfg, use_fused=True)
     monkeypatch.setattr(wf, "MID_RESORT_BOUNCES", (1, 2))
     jax.clear_caches()  # the flag binds at trace time, not a jit key

@@ -63,7 +63,14 @@ SORT_AFTER_BOUNCE0 = True
 # max_bounce-2) costs one extra payload sort (~2-3 ms per 2^19-ray wave,
 # scripts/micro_sort.py) and buys dead-lane compaction + fresh corridor
 # keys (origins move every bounce) for bounces > r.
-MID_RESORT_BOUNCES: tuple = ()
+#
+# Chip A/B/A (scripts/ab_resort.py, one process, 2026-08-20, official
+# 1080p 3spp 4bounce; session baseline drifted 28.4 → 26.9 over the run):
+#   ()      28.387 / 26.904 median (bracket)
+#   (1,)    32.297  ← +17% vs bracket mean — SHIPPED
+#   (2,)    30.152
+#   (1, 2)  26.995  ← two full-wave sorts cost more than bounce-3 saves
+MID_RESORT_BOUNCES: tuple = (1,)
 
 # When False, HBM-streaming scenes (> VMEM_RESIDENT_MAX_TRIS) skip the
 # in-kernel winner-record/u-v emission and fall back to the XLA record

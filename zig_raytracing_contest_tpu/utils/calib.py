@@ -25,9 +25,10 @@ import time
 CALIB_ITERS = 48
 CALIB_N = 4096
 # Reference probe time: the round-5 session that recalibrated the record
-# tables (docs/PERFORMANCE.md).  A session measuring calib_ms == this is
-# "nominal"; quote calibrated rates as rate * (calib_ms / CALIB_REF_MS).
-CALIB_REF_MS = 165.0
+# tables (docs/PERFORMANCE.md; measured 2026-08-20, the session that shipped
+# MID_RESORT_BOUNCES).  A session measuring calib_ms == this is "nominal";
+# quote calibrated rates as rate * (calib_ms / CALIB_REF_MS).
+CALIB_REF_MS = 65.5
 
 
 def chip_calibration(reps: int = 3) -> float:
