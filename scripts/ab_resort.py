@@ -10,7 +10,13 @@ compaction + fresh corridor keys for the bounces after it.
 Protocol: A/B/.../A — baseline (), each candidate, baseline again —
 median-of-3 in-process reps per variant, one process, one chip session.
 
-Run on the TPU chip: python scripts/ab_resort.py [--variants=1;2;1,2]
+Round-5 second leg: MID_RESORT_PREFIX — sort only the live-region prefix
+of each mid resort (the payload sort's cost is lane-count-proportional
+and live-fraction-independent; after the bounce-0 sort only ~13% of
+lanes are live on this scene).  Variant tokens are ``bounces@prefix``,
+e.g. ``1,2@4`` = resorts after bounces 1 and 2 with 1/4-wave prefix.
+
+Run on the TPU chip: python scripts/ab_resort.py [--variants=1;1@4;1,2@4]
 """
 import sys
 import tempfile
@@ -28,13 +34,17 @@ from zig_raytracing_contest_tpu.render.pipeline import prepare_scene, render_sce
 
 
 def main():
-    variants = [(1,), (1, 2), (2,)]
+    def parse(tok):
+        grp, _, pfx = tok.partition("@")
+        return (
+            tuple(int(x) for x in grp.split(",") if x),
+            int(pfx) if pfx else 1,
+        )
+
+    variants = [((1,), 1), ((1, 2), 1), ((2,), 1)]
     for a in sys.argv[1:]:
         if a.startswith("--variants="):
-            variants = [
-                tuple(int(x) for x in grp.split(",") if x)
-                for grp in a.split("=")[1].split(";")
-            ]
+            variants = [parse(t) for t in a.split("=")[1].split(";")]
 
     cfg = Config(grid_resolution=(128, 128, 128), num_samples=3,
                  max_bounce=4, wave_size=1 << 19)
@@ -53,14 +63,15 @@ def main():
         rates.sort()
         return rates[1], rates[-1]
 
-    base = wf.MID_RESORT_BOUNCES
-    for flag in [base] + variants + [base]:
+    base = (wf.MID_RESORT_BOUNCES, wf.MID_RESORT_PREFIX)
+    for flag, pfx in [base] + variants + [base]:
         wf.MID_RESORT_BOUNCES = flag
+        wf.MID_RESORT_PREFIX = pfx
         jax.clear_caches()
         med, best = measure()
-        print(f"official mid_resort={flag}: median {med:.3f}  "
+        print(f"official mid_resort={flag}@prefix{pfx}: median {med:.3f}  "
               f"best {best:.3f} Mrays/s", flush=True)
-    wf.MID_RESORT_BOUNCES = base
+    wf.MID_RESORT_BOUNCES, wf.MID_RESORT_PREFIX = base
     return 0
 
 

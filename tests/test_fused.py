@@ -792,6 +792,62 @@ def test_mid_resort_matches_composition(scene_and_rays, monkeypatch):
     np.testing.assert_array_equal(np.asarray(rows4[3]), np.asarray(st[14]))
 
 
+def test_mid_resort_prefix_matches_composition(scene_and_rays, monkeypatch):
+    """MID_RESORT_PREFIX sorts only the first R//prefix lanes of a
+    mid-path resort — a different permutation choice, never a semantic
+    one, so the unsorted per-bounce composition must still match.  Rays
+    are tiled to R=2048 so the 1024-aligned prefix actually engages
+    (P=1024 < R)."""
+    import zig_raytracing_contest_tpu.render.wavefront as wf
+    from zig_raytracing_contest_tpu.ops.mxu_intersect import EXCLUDE_PREV_HIT
+    from zig_raytracing_contest_tpu.render.fused import path_trace_fused
+    from zig_raytracing_contest_tpu.render.wavefront import (
+        _finish_path_sorted,
+    )
+
+    scene, orig, direction = scene_and_rays
+    R2 = 2 * R
+    streams = rng.ray_streams(jnp.uint32(23), jnp.arange(R2, dtype=jnp.int32))
+    alive = jnp.ones(R2, bool)
+    orig2 = jnp.concatenate([orig, orig])
+    dir2 = jnp.concatenate([direction, direction])
+    state = make_state16(
+        orig2, dir2, jnp.ones((R2, 3)), jnp.zeros((R2, 3)), alive, streams
+    )
+    max_bounce = 3
+    st = state
+    prev = None
+    for bounce in range(max_bounce):
+        aux, tri_m, rec = trace_emit_aux(
+            scene.mxu, st, rec_table=scene.shade_table_t, interpret=True,
+            prev=prev if EXCLUDE_PREV_HIT else None,
+        )
+        prev = tri_m
+        st = shade_fused(scene, st, aux, tri_m, bounce, interpret=True,
+                         rec=rec)
+
+    out = path_trace_fused(
+        scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+        1, scene.emissive_all_dummy is not None,
+        interpret=True, lane_block=512, emit_idx=EXCLUDE_PREV_HIT,
+    )
+    state1, idx0 = out if EXCLUDE_PREV_HIT else (out, None)
+    monkeypatch.setattr(wf, "MID_RESORT_BOUNCES", (1,))
+    monkeypatch.setattr(wf, "MID_RESORT_PREFIX", 2)
+    jax.clear_caches()
+    try:
+        rows4 = _finish_path_sorted(
+            scene, scene.color_u16f_t, state1, idx0, max_bounce,
+            scene.emissive_all_dummy is not None, interpret=True,
+        )
+    finally:
+        jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(rows4[0:3]), np.asarray(st[9:12]), rtol=3e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(rows4[3]), np.asarray(st[14]))
+
+
 def test_mid_resort_end_to_end(tmp_path, monkeypatch):
     """Full fused-pipeline render with mid-path resorts on vs off: the
     resort only regroups lanes between whole-path kernel calls, so the

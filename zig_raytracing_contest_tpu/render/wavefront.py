@@ -72,6 +72,19 @@ SORT_AFTER_BOUNCE0 = True
 #   (1, 2)  26.995  ← two full-wave sorts cost more than bounce-3 saves
 MID_RESORT_BOUNCES: tuple = (1,)
 
+# Prefix mid-resorts: sort only the first R // MID_RESORT_PREFIX lanes
+# (block-aligned) of each MID-path resort (the bounce-0 sort is always
+# full-wave).  Rationale: the bounce-0 sort puts every dead ray at the
+# wave tail, and rays only die — so at any later resort, every lane whose
+# status or position can still matter sits in the live prefix left by the
+# previous sort.  On the official scene ~13% of lanes survive bounce 0, so
+# a 1/4 prefix covers the live region with margin while the payload sort
+# (whose cost is lane-count-proportional and live-fraction-independent)
+# shrinks 4×.  Lanes past the prefix keep their previous sorted position
+# (correctness is permutation-invariant; only sweep grouping changes).
+# 1 = full-wave (no prefix).
+MID_RESORT_PREFIX: int = 1
+
 # When False, HBM-streaming scenes (> VMEM_RESIDENT_MAX_TRIS) skip the
 # in-kernel winner-record/u-v emission and fall back to the XLA record
 # gather + recompute_uv — the pre-in-kernel-emission behavior, kept as a
@@ -200,24 +213,41 @@ def _finish_path_sorted(scene, bank, state, idx0, max_bounce: int,
     bounds = [1] + sorted(
         {r + 1 for r in MID_RESORT_BOUNCES if 1 <= r <= max_bounce - 2}
     ) + [max_bounce]
+    R = state.shape[1]
     order = None  # running map: current lane -> original wave position
     idx_cur = idx0[0] if emit_idx else None
     for i in range(len(bounds) - 1):
         b_start, b_end = bounds[i], bounds[i + 1]
-        key = (
-            key0
-            if i == 0 and key0 is not None
-            else _ray_sort_key(scene, state)
-        )
-        extra = () if idx_cur is None else (idx_cur,)
-        if order is not None:
-            extra = extra + (order,)
-        perm, state, extras = _sort_state_payload(key, state, extra)
-        ei = 0
-        if idx_cur is not None:
-            idx_cur = extras[0]
-            ei = 1
-        order = perm if order is None else extras[ei]
+        # Mid-path resorts (i > 0) may sort only the live-region prefix
+        # (see MID_RESORT_PREFIX); the bounce-0 sort is always full-wave.
+        P = R
+        if i > 0 and MID_RESORT_PREFIX > 1:
+            P = max(1024, R // MID_RESORT_PREFIX // 1024 * 1024)
+        if P < R:
+            key = _ray_sort_key(scene, state[:, :P])
+            extra = (() if idx_cur is None else (idx_cur[:P],)) + (order[:P],)
+            _, sp, extras_p = _sort_state_payload(key, state[:, :P], extra)
+            state = jnp.concatenate([sp, state[:, P:]], axis=1)
+            ei = 0
+            if idx_cur is not None:
+                idx_cur = jnp.concatenate([extras_p[0], idx_cur[P:]])
+                ei = 1
+            order = jnp.concatenate([extras_p[ei], order[P:]])
+        else:
+            key = (
+                key0
+                if i == 0 and key0 is not None
+                else _ray_sort_key(scene, state)
+            )
+            extra = () if idx_cur is None else (idx_cur,)
+            if order is not None:
+                extra = extra + (order,)
+            perm, state, extras = _sort_state_payload(key, state, extra)
+            ei = 0
+            if idx_cur is not None:
+                idx_cur = extras[0]
+                ei = 1
+            order = perm if order is None else extras[ei]
         last = i == len(bounds) - 2
         out = path_trace_fused(
             scene.mxu, state, scene.shade_table_t, bank,
