@@ -35,13 +35,19 @@ from zig_raytracing_contest_tpu.render.pipeline import prepare_scene, render_sce
 
 def main():
     def parse(tok):
+        # ``bounces[@prefix][n]`` — trailing n = need-set mid key
+        # (wavefront.MID_SORT_NEEDSET; see cull_sim.py --simresort).
+        ns = tok.endswith("n")
+        if ns:
+            tok = tok[:-1]
         grp, _, pfx = tok.partition("@")
         return (
             tuple(int(x) for x in grp.split(",") if x),
             int(pfx) if pfx else 1,
+            ns,
         )
 
-    variants = [((1,), 1), ((1, 2), 1), ((2,), 1)]
+    variants = [((1,), 1, False), ((1, 2), 1, False), ((2,), 1, False)]
     for a in sys.argv[1:]:
         if a.startswith("--variants="):
             variants = [parse(t) for t in a.split("=")[1].split(";")]
@@ -63,15 +69,47 @@ def main():
         rates.sort()
         return rates[1], rates[-1]
 
-    base = (wf.MID_RESORT_BOUNCES, wf.MID_RESORT_PREFIX)
-    for flag, pfx in [base] + variants + [base]:
-        wf.MID_RESORT_BOUNCES = flag
-        wf.MID_RESORT_PREFIX = pfx
+    base = (wf.MID_RESORT_BOUNCES, wf.MID_RESORT_PREFIX, wf.MID_SORT_NEEDSET)
+
+    def set_cfg(cfg_):
+        (wf.MID_RESORT_BOUNCES, wf.MID_RESORT_PREFIX,
+         wf.MID_SORT_NEEDSET) = cfg_
         jax.clear_caches()
-        med, best = measure()
-        print(f"official mid_resort={flag}@prefix{pfx}: median {med:.3f}  "
-              f"best {best:.3f} Mrays/s", flush=True)
-    wf.MID_RESORT_BOUNCES, wf.MID_RESORT_PREFIX = base
+
+    def name(cfg_):
+        return f"{cfg_[0]}@prefix{cfg_[1]}{'n' if cfg_[2] else ''}"
+
+    # Interleaved protocol: chip sessions drift far more than lever sizes
+    # (this morning's session measured the IDENTICAL binary 7.3 then 12.0
+    # Mrays/s eight minutes apart while warming) — so instead of
+    # A/B/.../A blocks, cycle through all variants per round (baseline
+    # first) and report per-round rates; variant/baseline ratios within a
+    # round share chip state.  Compiles amortize via the persistent XLA
+    # cache after round 1.
+    CYCLES = 4
+    entries = [base] + [v for v in variants if v != base]
+    rates = {name(c): [] for c in entries}
+    for cyc in range(CYCLES):
+        for cfg_ in entries:
+            set_cfg(cfg_)
+            render_scene(scene, cam, cfg)  # warm/compile this config
+            t0 = time.perf_counter()
+            _, stats = render_scene(scene, cam, cfg)
+            r = stats.segments / (time.perf_counter() - t0) / 1e6
+            rates[name(cfg_)].append(r)
+            print(f"cycle {cyc} {name(cfg_)}: {r:.3f} Mrays/s", flush=True)
+    base_med = sorted(rates[name(base)])[CYCLES // 2]
+    for cfg_ in entries:
+        rs = sorted(rates[name(cfg_)])
+        med = rs[len(rs) // 2]
+        ratios = sorted(
+            v / b for v, b in zip(rates[name(cfg_)], rates[name(base)])
+        )
+        print(f"official mid_resort={name(cfg_)}: median {med:.3f} "
+              f"(paired ratio median {ratios[len(ratios) // 2]:.3f}, "
+              f"span {ratios[0]:.3f}-{ratios[-1]:.3f}) vs base "
+              f"{base_med:.3f} Mrays/s", flush=True)
+    set_cfg(base)
     return 0
 
 

@@ -12,9 +12,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from zig_raytracing_contest_tpu.utils.calib import (
     CALIB_REF_MS,
+    DISPATCH_REF_MS,
     chip_calibration,
+    dispatch_latency,
 )
 
 ms = chip_calibration()
 print(f"calib_ms {ms}  (ref {CALIB_REF_MS}; session factor "
       f"{ms / CALIB_REF_MS:.3f})")
+dl = dispatch_latency()
+print(f"dispatch_ms {dl}  (ref {DISPATCH_REF_MS}; latency factor "
+      f"{dl / DISPATCH_REF_MS:.2f} — throughput vs latency disambiguator, "
+      f"utils/calib.py)")

@@ -540,6 +540,184 @@ def simulate_bin(npz_path: str) -> None:
             print(row)
 
 
+def simulate_resort(npz_path: str) -> None:
+    """Round-5 decision gate (r4 VERDICT item 3): price the two bounce>=2
+    union-headroom candidates on the dumped waves.
+
+    Candidate (a) — two-pass 'coarse pre-pass -> re-sort by observed need
+    -> fine trace'.  The only *implementable* observed-need signature that
+    does not require the trace result it is supposed to accelerate is the
+    UNOCCLUDED need-set: after shade scatters bounce b+1's ray in-kernel,
+    a slab-only pre-pass (785 tile slabs ~ 7.9k ops/lane ~ 2.3 tile-sweeps
+    of VPU work) can emit the first-k needed tile ids with NO best-t cap
+    (best t is what the fine trace will compute).  Keys priced:
+
+      needset        occlusion-ideal oracle (r4 row, for reference)
+      unocc-needset  lexsort by first-8 unoccluded needed tiles
+      unocc-cap1/4   same, entry capped at diag/4 (static occlusion proxy)
+      unocc-cap1/8   same at diag/8
+      grp-needset    lexsort by first-8 unoccluded needed GROUPS (8-tile
+                     slab pre-pass, 1/8 the pre-pass cost)
+      asis / oemix   calibration rows (production order / shipped key)
+
+    Candidate (b) — per-lane stack traversal at bounce>=2.  Not directly
+    sortable; its cost is divergence-bound: a vectorized while-stack runs
+    until every lane in the block finishes, so steps/block = MAX over
+    lanes of per-lane visits, and each per-lane tile sweep needs a
+    lane-varying gather of 128x13 tri rows (Mosaic has no multi-vreg
+    dynamic gather — the texel-LUT dead end — so the only lowering is a
+    one-hot matmul over ALL tiles, (L, T) x (T, 128*13) per step).  This
+    prints the max/mean per-lane need per block, from which the go/no-go
+    arithmetic in docs/ROUND5.md follows.
+    """
+    z = np.load(npz_path)
+    bb = z["tile_bbox"].astype(np.float64)
+    lo32, hi32 = bb[0:3].astype(np.float32), bb[3:6].astype(np.float32)
+    T = bb.shape[1]
+    grans = [512, 256]
+    slo = lo32.min(axis=1)
+    shi = hi32.max(axis=1)
+    span = np.maximum(shi - slo, 1e-30)
+    diag = float(np.sqrt((span**2).sum()))
+    # group = 8 consecutive tiles (bake order); group bbox = union
+    G = (T + 7) // 8
+    glo = np.full((3, G), np.inf, np.float32)
+    ghi = np.full((3, G), -np.inf, np.float32)
+    for g in range(G):
+        s = slice(g * 8, min((g + 1) * 8, T))
+        glo[:, g] = lo32[:, s].min(axis=1)
+        ghi[:, g] = hi32[:, s].max(axis=1)
+    print(f"tiles={T} groups={G} grans={grans}")
+    for bounce in range(1, 4):
+        od = z[f"b{bounce}_od"].astype(np.float32)
+        alive = z[f"b{bounce}_alive"]
+        tfin = z[f"b{bounce}_t"].astype(np.float64)
+        R = od.shape[1]
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            print(f"bounce {bounce}: no live rays")
+            continue
+        tfin = np.where(np.isfinite(tfin), tfin, np.inf).astype(np.float32)
+
+        def entries(lo_, hi_, occl_cap):
+            """per-(ray, box) slab entry where needed else +inf"""
+            nbox = lo_.shape[1]
+            ten = np.zeros((R, nbox), np.float32)
+            CH = 32 * 1024
+            for c0 in range(0, R, CH):
+                c1 = min(c0 + CH, R)
+                o = od[0:3, c0:c1]
+                d = od[3:6, c0:c1]
+                tmin = np.full((c1 - c0, nbox), -np.inf, np.float32)
+                tmax = np.full((c1 - c0, nbox), np.inf, np.float32)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for a3 in range(3):
+                        inv = 1.0 / d[a3]
+                        ta = (lo_[a3][None, :] - o[a3][:, None]) * inv[:, None]
+                        tb = (hi_[a3][None, :] - o[a3][:, None]) * inv[:, None]
+                        tmin = np.maximum(tmin, np.fmin(ta, tb))
+                        tmax = np.minimum(tmax, np.fmax(ta, tb))
+                cap = (
+                    tfin[c0:c1, None]
+                    if occl_cap is None
+                    else np.float32(occl_cap)
+                )
+                nd = (
+                    (tmin <= np.minimum(tmax, cap))
+                    & (tmax >= 0.0)
+                    & alive[c0:c1, None]
+                )
+                ten[c0:c1] = np.where(nd, tmin, np.inf)
+            return ten
+
+        ten_true = entries(lo32, hi32, None)  # occlusion-ideal (oracle)
+        need_true = ten_true < np.inf
+
+        def first8(ten):
+            k8 = min(8, ten.shape[1])
+            o8 = np.argsort(ten, axis=1)[:, :k8]
+            got = np.take_along_axis(ten, o8, axis=1) < np.inf
+            return np.where(got, o8, ten.shape[1])
+
+        dead_last = (~alive).astype(np.int64) << 62
+
+        def lex(f8):
+            return np.lexsort(
+                tuple(f8[:, k] for k in range(f8.shape[1] - 1, -1, -1))
+                + (dead_last,)
+            )
+
+        perms = {"asis": np.arange(R)}
+        perms["needset"] = lex(first8(ten_true))
+        ten_un = entries(lo32, hi32, np.inf)
+        perms["unocc-needset"] = lex(first8(ten_un))
+        perms["unocc-cap1/4"] = lex(first8(entries(lo32, hi32, diag / 4)))
+        perms["unocc-cap1/8"] = lex(first8(entries(lo32, hi32, diag / 8)))
+        perms["grp-needset"] = lex(first8(entries(glo, ghi, np.inf)))
+        # The int32-budget truncations the real sort key can carry
+        # (wavefront._mid_sort_key): first-3 unoccluded ids at
+        # ceil(log2(T+1)) bits each + corridor-Morton tiebreak in the
+        # leftover low bits.
+        f8 = first8(ten_un)
+        Bq = max(int(np.ceil(np.log2(T + 1))), 1)
+        o = od[0:3]
+        d = od[3:6]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / d
+            ta = (slo[:, None] - o) * inv
+            tb = (shi[:, None] - o) * inv
+            texit = np.minimum(
+                np.minimum(np.fmax(ta[0], tb[0]), np.fmax(ta[1], tb[1])),
+                np.fmax(ta[2], tb[2]),
+            )
+        ex = o + d * np.maximum(texit, 0.0)[None, :]
+
+        def mort3(p, bits):
+            q = np.clip(((p - slo[:, None]) / span[:, None]) * (1 << bits),
+                        0, (1 << bits) - 1).astype(np.int64)
+            m = np.zeros(p.shape[1], np.int64)
+            for b in range(bits):
+                for a3 in range(3):
+                    m |= ((q[a3] >> b) & 1) << (3 * b + a3)
+            return m
+
+        omort, emort = mort3(o, 5), mort3(ex, 5)
+        oemix = np.zeros(R, np.int64)
+        for g in range(5):
+            oemix |= ((omort >> (3 * g)) & 7) << (6 * g + 3)
+            oemix |= ((emort >> (3 * g)) & 7) << (6 * g)
+        for k in (2, 3):
+            kk = np.zeros(R, np.int64)
+            for j in range(k):
+                kk = (kk << Bq) | f8[:, j].astype(np.int64)
+            tail = max(30 - k * Bq, 0)
+            perms[f"first{k}+mix"] = np.argsort(
+                (kk << tail) | (oemix >> max(30 - tail, 0)) | dead_last,
+                kind="stable",
+            )
+        print(f"bounce {bounce}: alive {n_alive}/{R}  "
+              f"need/alive-ray {need_true.sum() / n_alive:.2f}")
+        for kname, perm in perms.items():
+            nd = need_true[perm]
+            row = f"    {kname:14s}:"
+            for L in grans:
+                nb = R // L
+                u = nd[: nb * L].reshape(nb, L, T).any(axis=1)
+                row += f"  L={L} union {u.sum() / nb:7.2f}"
+            print(row)
+        # candidate (b): divergence stats at production order, L=512
+        L = 512
+        nb = R // L
+        cnt = need_true[: nb * L].sum(axis=1).reshape(nb, L)
+        blk_alive = alive[: nb * L].reshape(nb, L).any(axis=1)
+        mx = cnt.max(axis=1)[blk_alive]
+        mn = cnt.mean(axis=1)[blk_alive]
+        print(f"    per-lane need, live L=512 blocks: mean {mn.mean():.2f} "
+              f"max/block mean {mx.mean():.1f} p95 "
+              f"{np.percentile(mx, 95):.0f} (while-stack steps/block ~ "
+              f"2x max; one-hot sweep (512,{T})x({T},1664) per step)")
+
+
 def main() -> int:
     side = None
     R = 1 << 18
@@ -561,6 +739,9 @@ def main() -> int:
         return 0
     if "--simbin" in sys.argv:
         simulate_bin(sys.argv[sys.argv.index("--simbin") + 1])
+        return 0
+    if "--simresort" in sys.argv:
+        simulate_resort(sys.argv[sys.argv.index("--simresort") + 1])
         return 0
     if "--sim" in sys.argv:
         simulate(sys.argv[sys.argv.index("--sim") + 1])

@@ -53,3 +53,32 @@ def chip_calibration(reps: int = 3) -> float:
         times.append((time.perf_counter() - t0) * 1e3)
     times.sort()
     return round(times[len(times) // 2], 1)
+
+
+# Reference dispatch latency (same session as CALIB_REF_MS).  The frame is
+# ~10 host dispatches per wave; a session whose per-dispatch RPC latency
+# balloons (observed: the 2026-08-21 session opened at ~4x the previous
+# day's frame rate on the identical binary while its THROUGHPUT probe was
+# normal) depresses dispatch-bound workloads only — so the latency probe
+# disambiguates "slow chip" from "slow tunnel".
+DISPATCH_REF_MS = 3.0
+
+
+def dispatch_latency(reps: int = 15) -> float:
+    """Median wall-clock (ms) of a minimal dispatch + host fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    x = jnp.zeros((8,), jnp.float32)
+    float(tiny(x)[0])  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(tiny(x)[0])
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return round(times[len(times) // 2], 2)
