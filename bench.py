@@ -161,19 +161,27 @@ def _stats(rates):
     return round(med, 3), round(best, 3), round(spread, 1)
 
 
-def _calibrate() -> float:
-    """Session-state probe (ms): see utils/calib.py — emitted in the JSON
+def _calibrate() -> tuple:
+    """Session-state probes (ms): see utils/calib.py — emitted in the JSON
     line so cross-session numbers can be quoted as calibrated ratios
-    (VERDICT r4 item 6: the ±25-40% session envelope exceeds most levers)."""
-    from zig_raytracing_contest_tpu.utils.calib import chip_calibration
+    (VERDICT r4 item 6: the ±25-40% session envelope exceeds most levers).
+    Returns (throughput_probe_ms, dispatch_latency_ms); the pair
+    disambiguates a slow CHIP from a slow TUNNEL (dispatch-bound frames
+    sink with latency while the throughput probe stays nominal)."""
+    from zig_raytracing_contest_tpu.utils.calib import (
+        chip_calibration,
+        dispatch_latency,
+    )
 
     try:
         ms = chip_calibration()
+        dl = dispatch_latency()
     except Exception as exc:  # never let the probe sink the bench
         print(f"calibration probe failed: {exc}", file=sys.stderr)
-        return 0.0
-    print(f"session calibration probe: {ms} ms", file=sys.stderr)
-    return ms
+        return 0.0, 0.0
+    print(f"session calibration probe: {ms} ms, dispatch {dl} ms",
+          file=sys.stderr)
+    return ms, dl
 
 
 def run_large() -> int:
@@ -181,7 +189,7 @@ def run_large() -> int:
     from zig_raytracing_contest_tpu.config import Config
     from zig_raytracing_contest_tpu.render.pipeline import prepare_scene, render_scene
 
-    calib_ms = _calibrate()
+    calib_ms, dispatch_ms = _calibrate()
     width, height = 1280, 720
     # Whole-frame waves: the per-bounce (dead, Morton, direction) sort gets
     # ~7× more rays per bucket, so 512-lane blocks span tighter beams and
@@ -218,6 +226,7 @@ def run_large() -> int:
                 "triangles": 2 * 224 * 224 + 10,
                 "segments": segments,
                 "calib_ms": calib_ms,
+                "dispatch_ms": dispatch_ms,
             }
         )
     )
@@ -233,7 +242,9 @@ def main() -> int:
     if "--large" in sys.argv:
         return run_large()
 
-    calib_ms = 0.0 if "--cpu" in sys.argv else _calibrate()
+    calib_ms, dispatch_ms = (
+        (0.0, 0.0) if "--cpu" in sys.argv else _calibrate()
+    )
     width, height = 1920, 1080
     config = Config(
         grid_resolution=(128, 128, 128), num_samples=3, max_bounce=4,
@@ -301,6 +312,7 @@ def main() -> int:
                 "best": best,
                 "spread_pct": spread,
                 "calib_ms": calib_ms,
+                "dispatch_ms": dispatch_ms,
             }
         )
     )

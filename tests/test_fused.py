@@ -848,6 +848,69 @@ def test_mid_resort_prefix_matches_composition(scene_and_rays, monkeypatch):
     np.testing.assert_array_equal(np.asarray(rows4[3]), np.asarray(st[14]))
 
 
+def test_mid_resort_needset_key_matches_composition(scene_and_rays,
+                                                    monkeypatch):
+    """MID_SORT_NEEDSET swaps the mid-resort key for the first-3-needed-
+    tile signature (wavefront._mid_sort_key) — again only a permutation
+    choice, so the unsorted per-bounce composition must still match."""
+    import zig_raytracing_contest_tpu.render.wavefront as wf
+    from zig_raytracing_contest_tpu.ops.mxu_intersect import EXCLUDE_PREV_HIT
+    from zig_raytracing_contest_tpu.render.fused import path_trace_fused
+    from zig_raytracing_contest_tpu.render.wavefront import (
+        _finish_path_sorted,
+        _mid_sort_key,
+    )
+
+    scene, orig, direction = scene_and_rays
+    streams = rng.ray_streams(jnp.uint32(11), jnp.arange(R, dtype=jnp.int32))
+    alive = jnp.ones(R, bool)
+    state = make_state16(
+        orig, direction, jnp.ones((R, 3)), jnp.zeros((R, 3)), alive, streams
+    )
+    # Key invariants: int32, dead lanes strictly after live lanes.
+    dead_state = state.at[12].set(
+        jnp.where(jnp.arange(R) % 3 == 0, 0.0, 1.0)
+    )
+    key = _mid_sort_key(scene, dead_state)
+    assert key.dtype == jnp.int32
+    kn = np.asarray(key)
+    dead = np.arange(R) % 3 == 0
+    assert kn[dead].min() > kn[~dead].max()
+
+    max_bounce = 3
+    st = state
+    prev = None
+    for bounce in range(max_bounce):
+        aux, tri_m, rec = trace_emit_aux(
+            scene.mxu, st, rec_table=scene.shade_table_t, interpret=True,
+            prev=prev if EXCLUDE_PREV_HIT else None,
+        )
+        prev = tri_m
+        st = shade_fused(scene, st, aux, tri_m, bounce, interpret=True,
+                         rec=rec)
+
+    out = path_trace_fused(
+        scene.mxu, state, scene.shade_table_t, scene.color_u16f_t,
+        1, scene.emissive_all_dummy is not None,
+        interpret=True, lane_block=512, emit_idx=EXCLUDE_PREV_HIT,
+    )
+    state1, idx0 = out if EXCLUDE_PREV_HIT else (out, None)
+    monkeypatch.setattr(wf, "MID_RESORT_BOUNCES", (1,))
+    monkeypatch.setattr(wf, "MID_SORT_NEEDSET", True)
+    jax.clear_caches()
+    try:
+        rows4 = _finish_path_sorted(
+            scene, scene.color_u16f_t, state1, idx0, max_bounce,
+            scene.emissive_all_dummy is not None, interpret=True,
+        )
+    finally:
+        jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(rows4[0:3]), np.asarray(st[9:12]), rtol=3e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(rows4[3]), np.asarray(st[14]))
+
+
 def test_mid_resort_end_to_end(tmp_path, monkeypatch):
     """Full fused-pipeline render with mid-path resorts on vs off: the
     resort only regroups lanes between whole-path kernel calls, so the

@@ -28,6 +28,7 @@ TPU-shaping decisions, all measured on the v5e chip:
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -84,6 +85,20 @@ MID_RESORT_BOUNCES: tuple = (1,)
 # (correctness is permutation-invariant; only sweep grouping changes).
 # 1 = full-wave (no prefix).
 MID_RESORT_PREFIX: int = 1
+
+# Mid-resort key family.  The corridor key (_ray_sort_key) is blind to
+# which tiles a bounced ray can actually reach; cull_sim.py --simresort
+# (official-scene dump, 2026-08-20) shows sorting by the lane's
+# UNOCCLUDED tile-need set (slab entry order, no trace knowledge) cuts
+# the occlusion-ideal per-512-block union from 7.0 -> 3.5 at bounce 2 and
+# 6.25 -> 2.25 at bounce 3 — matching the full need-set oracle — and a
+# 3-id truncation with a corridor tiebreak (the int32 key budget) loses
+# nothing.  When True, mid-path resorts (never bounce 0) sort by
+# _mid_sort_key: first-3 needed box ids (tiles when the scene has
+# <= NEEDSET_TILE_MAX, else 8-tile groups) + corridor-Morton tail bits.
+# The slab pre-pass costs O(boxes x lanes) VPU ops at resort time.
+MID_SORT_NEEDSET: bool = False
+NEEDSET_TILE_MAX: int = 128
 
 # When False, HBM-streaming scenes (> VMEM_RESIDENT_MAX_TRIS) skip the
 # in-kernel winner-record/u-v emission and fall back to the XLA record
@@ -146,6 +161,56 @@ def _ray_sort_key(scene: DeviceScene, state):
             key = key | (((q[a] >> b) & 1) << (6 * b + 2 * a))
             key = key | (((dq[a] >> b) & 1) << (6 * b + 2 * a + 1))
     return (dead << 30) | key
+
+
+def _mid_sort_key(scene: DeviceScene, state):
+    """int32 mid-resort key: (dead, first-3 needed box ids, corridor tail).
+
+    Per lane, a slab test against every tile (or 8-tile group when the
+    scene has more than NEEDSET_TILE_MAX tiles) orders the boxes the
+    bounced ray can still reach by entry t; the first three ids — the
+    lane's observed need signature — take the key's top bits so a lane
+    block becomes rays that will sweep the SAME tiles, which is the
+    quantity the per-block cull union actually measures.  Remaining low
+    bits carry the corridor Morton code's top bits as a tiebreak.  Sim:
+    cull_sim.py --simresort (see MID_SORT_NEEDSET).  Falls back to
+    _ray_sort_key for non-MXU scenes.
+    """
+    if scene.mxu is None:
+        return _ray_sort_key(scene, state)
+    bb = scene.mxu.tile_bbox
+    if bb.shape[1] > NEEDSET_TILE_MAX:
+        bb = scene.mxu.group_bbox
+    T = bb.shape[1]
+    o, d = state[0:3], state[3:6]
+    P = o.shape[1]
+    tmin = jnp.full((T, P), -jnp.inf, jnp.float32)
+    tmax = jnp.full((T, P), jnp.inf, jnp.float32)
+    for a in range(3):
+        inv = 1.0 / d[a]
+        ta = (bb[a][:, None] - o[a][None, :]) * inv[None, :]
+        tb = (bb[3 + a][:, None] - o[a][None, :]) * inv[None, :]
+        tmin = jnp.maximum(tmin, jnp.fmin(ta, tb))
+        tmax = jnp.minimum(tmax, jnp.fmax(ta, tb))
+    ten = jnp.where((tmin <= tmax) & (tmax >= 0.0), tmin, jnp.inf)
+    bits = max(int(math.ceil(math.log2(T + 1))), 1)
+    k = min(3, 30 // bits)
+    rows = jax.lax.iota(jnp.int32, T)[:, None]
+    ids = []
+    for j in range(k):
+        i0 = jnp.argmin(ten, axis=0).astype(jnp.int32)
+        got = jnp.min(ten, axis=0) < jnp.inf
+        ids.append(jnp.where(got, i0, T))
+        if j + 1 < k:
+            ten = jnp.where(rows == i0[None, :], jnp.inf, ten)
+    base = _ray_sort_key(scene, state)
+    mix = base & ((1 << 30) - 1)
+    dead = base >> 30  # 0 live / 1 dead (int32 bit 30; sign bit untouched)
+    kk = jnp.zeros_like(mix)
+    for idv in ids:
+        kk = (kk << bits) | idv
+    tail = 30 - k * bits
+    return (dead << 30) | (kk << tail) | (mix >> (30 - tail))
 
 
 def _sort_state_payload(key, state, extra=()):
@@ -223,8 +288,9 @@ def _finish_path_sorted(scene, bank, state, idx0, max_bounce: int,
         P = R
         if i > 0 and MID_RESORT_PREFIX > 1:
             P = max(1024, R // MID_RESORT_PREFIX // 1024 * 1024)
+        mid_key = _mid_sort_key if MID_SORT_NEEDSET else _ray_sort_key
         if P < R:
-            key = _ray_sort_key(scene, state[:, :P])
+            key = mid_key(scene, state[:, :P])
             extra = (() if idx_cur is None else (idx_cur[:P],)) + (order[:P],)
             _, sp, extras_p = _sort_state_payload(key, state[:, :P], extra)
             state = jnp.concatenate([sp, state[:, P:]], axis=1)
@@ -237,7 +303,7 @@ def _finish_path_sorted(scene, bank, state, idx0, max_bounce: int,
             key = (
                 key0
                 if i == 0 and key0 is not None
-                else _ray_sort_key(scene, state)
+                else (_ray_sort_key if i == 0 else mid_key)(scene, state)
             )
             extra = () if idx_cur is None else (idx_cur,)
             if order is not None:
@@ -605,7 +671,11 @@ def render_wave(
             # order it establishes keeps bounce 1+ coherent — measured 1.45
             # vs 1.16 Mrays/s end-to-end on the 100k scene.
             if sort_rays:
-                key = _ray_sort_key(scene, state)
+                key = (
+                    _mid_sort_key
+                    if MID_SORT_NEEDSET and bounce > 0
+                    else _ray_sort_key
+                )(scene, state)
                 extra = (order,) + ((prev_m,) if prev_m is not None else ())
                 _, state, extras = _sort_state_payload(key, state, extra)
                 order = extras[0]
