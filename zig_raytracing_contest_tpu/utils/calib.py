@@ -55,13 +55,14 @@ def chip_calibration(reps: int = 3) -> float:
     return round(times[len(times) // 2], 1)
 
 
-# Reference dispatch latency (same session as CALIB_REF_MS).  The frame is
-# ~10 host dispatches per wave; a session whose per-dispatch RPC latency
-# balloons (observed: the 2026-08-21 session opened at ~4x the previous
-# day's frame rate on the identical binary while its THROUGHPUT probe was
-# normal) depresses dispatch-bound workloads only — so the latency probe
-# disambiguates "slow chip" from "slow tunnel".
-DISPATCH_REF_MS = 3.0
+# Reference dispatch latency: the axon tunnel's long-documented ~25-30 ms
+# per-dispatch floor (docs/PERFORMANCE.md round-2 notes), confirmed by the
+# first measured probe (26.65 ms, 2026-08-21, a session whose THROUGHPUT
+# probe was simultaneously nominal at 1.027).  A session reading far above
+# this depresses dispatch-bound workloads only — the probe pair
+# disambiguates "slow chip" from "slow tunnel" (the same binary opened at
+# 7.3 Mrays/s and reached 33.3 once the tunnel warmed).
+DISPATCH_REF_MS = 26.7
 
 
 def dispatch_latency(reps: int = 15) -> float:
